@@ -1,0 +1,173 @@
+"""Engine, sampling, and compression configuration.
+
+Capability parity with the reference engine's config surface
+(reference: src/compactor_vllm/config/engine_config.py:9-95,
+config/sampling_params.py:4-11, compression/compression_config.py:8-44),
+re-designed for a TPU/XLA execution model: everything that changes compiled
+program shapes (buckets, page size, mesh axes) lives here and is static.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from dataclasses import dataclass, field
+
+__all__ = [
+    "AttentionBackend",
+    "CompressionMethod",
+    "SamplingParams",
+    "SequenceCompressionParams",
+    "BatchCompressionParams",
+    "LLMConfig",
+    "RESERVED_SLOT",
+]
+
+# Batch slot 0 is reserved as the scatter/padding target for inactive lanes in
+# bucketed (padded) programs; kernels and stores treat it as a scratch row.
+# (reference: config/constants.py:3 RESERVED_BATCH)
+RESERVED_SLOT = 0
+
+
+class AttentionBackend(enum.Enum):
+    """Which attention implementation the engine runs.
+
+    PALLAS is the production TPU kernel path; REFERENCE is the pure-jnp
+    dense-gather oracle (always available, used for tests and CPU runs).
+    """
+
+    PALLAS = "pallas"
+    REFERENCE = "reference"
+
+
+class CompressionMethod(enum.Enum):
+    NONE = "none"
+    COMPACTOR = "compactor"
+    SNAPKV = "snapkv"
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Per-sequence sampling parameters (reference: config/sampling_params.py:4-11)."""
+
+    temperature: float = 1.0
+    max_new_tokens: int = 64
+
+    def __post_init__(self):
+        assert self.temperature >= 0.0, "temperature must be non-negative"
+        assert self.max_new_tokens >= 1, "max_new_tokens must be >= 1"
+
+
+@dataclass(frozen=True)
+class SequenceCompressionParams:
+    """Per-sequence KV compression knobs.
+
+    compression_ratio is the fraction of (token, head) pairs retained over the
+    unprotected span; protected ranges always survive compression.
+    (reference: compression/compression_config.py:8-24)
+    """
+
+    compression_ratio: float = 1.0
+    protected_first_tokens: int = 16
+    protected_last_tokens: int = 64
+
+    def __post_init__(self):
+        assert 0.0 < self.compression_ratio <= 1.0
+        assert self.protected_first_tokens >= 0
+        assert self.protected_last_tokens >= 0
+
+
+@dataclass(frozen=True)
+class BatchCompressionParams:
+    """Per-generate-call compression configuration.
+
+    SnapKV is query-aware over the trailing window and therefore incompatible
+    with chunked scoring; it forcibly disables chunking
+    (reference: compression/compression_config.py:39-44).
+    """
+
+    compression_method: CompressionMethod = CompressionMethod.NONE
+    do_chunked_compression: bool = True
+    chunk_size: int = 512
+
+    def __post_init__(self):
+        if self.compression_method == CompressionMethod.SNAPKV:
+            object.__setattr__(self, "do_chunked_compression", False)
+        assert self.chunk_size > 0
+
+
+@dataclass
+class LLMConfig:
+    """Engine configuration (reference: config/engine_config.py:15-95).
+
+    TPU-specific additions: page/bucket geometry is static so every program
+    shape is known at trace time, and the device mesh is described here
+    instead of NCCL ranks.
+    """
+
+    model: str = ""
+    model_path: str | None = None
+
+    # Batching / lengths.
+    max_num_seqs: int = 64
+    max_model_len: int = 4096
+    max_num_batched_tokens: int = 16384
+
+    # KV cache geometry.
+    kvcache_page_size: int = 64
+    num_kv_pages: int | None = None  # per (layer, shard) pool; None => derive from HBM
+    hbm_utilization: float = 0.9
+
+    # Compression.
+    leverage_sketch_size: int = 48
+
+    # Parallelism: tensor-parallel size over the ICI mesh `tp` axis.
+    tensor_parallel_size: int = 1
+    # Data-parallel replicas (engine-level; each replica runs the full model).
+    data_parallel_size: int = 1
+
+    # Execution.
+    attention_backend: AttentionBackend = AttentionBackend.PALLAS
+    dtype: str = "bfloat16"
+    eos: int = -1
+    seed: int = 0
+
+    # Shape bucketing for compiled steps (replaces CUDA graph capture,
+    # reference: core/model_runner.py:493-545). Token buckets bound padded
+    # prefill sizes; batch buckets bound padded decode batch sizes.
+    prefill_token_buckets: tuple[int, ...] = ()
+    decode_batch_buckets: tuple[int, ...] = ()
+
+    def __post_init__(self):
+        assert self.max_num_seqs >= 1
+        assert self.kvcache_page_size >= 8 and (
+            self.kvcache_page_size & (self.kvcache_page_size - 1) == 0
+        ), "page size must be a power of two >= 8"
+        assert 1 <= self.tensor_parallel_size <= 64
+        assert 0.0 < self.hbm_utilization <= 1.0
+        if not self.prefill_token_buckets:
+            buckets = []
+            b = 256
+            while b < self.max_num_batched_tokens:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_num_batched_tokens)
+            self.prefill_token_buckets = tuple(buckets)
+        if not self.decode_batch_buckets:
+            buckets = []
+            b = 8
+            while b < self.max_num_seqs:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_num_seqs)
+            self.decode_batch_buckets = tuple(buckets)
+        if self.model and self.model_path is None:
+            self.model_path = self.model if os.path.isdir(self.model) else None
+
+    @property
+    def max_pages_per_head(self) -> int:
+        return cdiv(self.max_model_len, self.kvcache_page_size)
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)

@@ -1,0 +1,188 @@
+"""Host-side paged KV allocator.
+
+The device KV cache is a pool of fixed-size pages per (layer, shard); each
+page holds `page_size` tokens of ONE kv head (head_dim lanes), which is what
+makes head-sparse (per-head compressed) caches representable — heads of the
+same sequence can retain different numbers of tokens
+(reference: kv_cache/page_table.py:93-119).
+
+Unlike the reference (CPU min-heaps + Triton scatter into a device table,
+page_table.py:112-198), allocation here is fully host-side vectorized numpy
+over LIFO stacks, and the device page table is refreshed with one dense
+`.at[...].set` per touched batch slot — XLA-friendly, no device atomics.
+
+Shards: pools are partitioned into `num_shards` independent id spaces so the
+device cache can be sharded over the tensor-parallel axis with *local* page
+ids (kv head h lives in shard h // (H // S)). Every host runs the same
+deterministic allocator, so SPMD programs agree on the table contents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from compactor_vllm_tpu.config import RESERVED_SLOT, cdiv
+
+
+@dataclass
+class SlotUpdate:
+    """Pending device page-table update for one batch slot: columns
+    [0, num_cols) of page_table[:, slot, :, :] must be refreshed."""
+
+    slot: int
+    num_cols: int
+
+
+class PageAllocator:
+    def __init__(
+        self,
+        *,
+        num_layers: int,
+        num_shards: int,
+        pages_per_shard: int,
+        num_kv_heads: int,
+        max_pages_per_head: int,
+        num_slots: int,
+        page_size: int,
+    ):
+        assert num_kv_heads % num_shards == 0, "kv heads must divide evenly into shards"
+        self.L = num_layers
+        self.S = num_shards
+        self.P = pages_per_shard
+        self.H = num_kv_heads
+        self.heads_per_shard = num_kv_heads // num_shards
+        self.max_pages_per_head = max_pages_per_head
+        self.num_slots = num_slots
+        self.page_size = page_size
+
+        # LIFO free stacks per (layer, shard). free[l, s, :count] are free ids.
+        ids = np.arange(pages_per_shard - 1, -1, -1, dtype=np.int32)
+        self.free = np.tile(ids, (num_layers, num_shards, 1))
+        self.free_count = np.full((num_layers, num_shards), pages_per_shard, np.int64)
+
+        # Host mirror of the device page table + per-row allocated page counts.
+        self.page_table = np.zeros(
+            (num_layers, num_slots, num_kv_heads, max_pages_per_head), np.int32
+        )
+        self.num_pages = np.zeros((num_layers, num_slots, num_kv_heads), np.int32)
+
+        # Batch slots. Slot 0 is reserved as the padding target
+        # (reference: kv_cache/page_table.py:117-119).
+        self.free_slots = list(range(num_slots - 1, 0, -1))
+        self.slot_of_seq: dict[int, int] = {}
+
+    # ------------------------------------------------------------------ slots
+
+    @property
+    def num_free_slots(self) -> int:
+        return len(self.free_slots)
+
+    def alloc_slot(self, seq_id: int) -> int:
+        slot = self.free_slots.pop()
+        self.slot_of_seq[seq_id] = slot
+        return slot
+
+    def release_slot(self, seq_id: int) -> None:
+        slot = self.slot_of_seq.pop(seq_id)
+        self._free_all_pages(slot)
+        self.free_slots.append(slot)
+
+    # ------------------------------------------------------------------ pages
+
+    def min_free_pages(self) -> int:
+        """Lower bound of free pages across all (layer, shard) pools."""
+        return int(self.free_count.min())
+
+    def pages_needed(self, num_tokens: int) -> int:
+        """Pages a fresh sequence of `num_tokens` needs per (layer, shard)."""
+        return cdiv(num_tokens, self.page_size) * self.heads_per_shard
+
+    def can_reserve(self, num_tokens: int) -> bool:
+        return self.pages_needed(num_tokens) <= self.min_free_pages()
+
+    def reserve(self, seq_id: int, num_tokens: int) -> SlotUpdate:
+        """Grow every (layer, head) row of this sequence's slot to cover
+        `num_tokens` tokens. Returns the device update descriptor."""
+        slot = self.slot_of_seq[seq_id]
+        target = cdiv(num_tokens, self.page_size)
+        assert target <= self.max_pages_per_head, (
+            f"sequence of {num_tokens} tokens exceeds max_model_len capacity"
+        )
+        hs = self.heads_per_shard
+        max_col = 0
+        for l in range(self.L):
+            need = target - self.num_pages[l, slot]  # [H]
+            np.maximum(need, 0, out=need)
+            if not need.any():
+                continue
+            need_s = need.reshape(self.S, hs)
+            for s in range(self.S):
+                total = int(need_s[s].sum())
+                if total == 0:
+                    continue
+                cnt = self.free_count[l, s]
+                assert total <= cnt, "out of KV pages (scheduler must gate this)"
+                popped = self.free[l, s, cnt - total : cnt]
+                self.free_count[l, s] = cnt - total
+                # Distribute popped ids to heads of this shard.
+                off = 0
+                for hl in range(hs):
+                    n = int(need_s[s, hl])
+                    if n == 0:
+                        continue
+                    h = s * hs + hl
+                    cur = self.num_pages[l, slot, h]
+                    self.page_table[l, slot, h, cur : cur + n] = popped[off : off + n]
+                    off += n
+            self.num_pages[l, slot] = np.maximum(self.num_pages[l, slot], target)
+            max_col = max(max_col, target)
+        return SlotUpdate(slot=slot, num_cols=max_col)
+
+    def shrink(self, seq_id: int, keep_tokens: np.ndarray) -> None:
+        """Return surplus pages to the pools, keeping capacity for
+        `keep_tokens[l, h]` tokens per (layer, head). Used after compression
+        freed cache space (reference: kv_cache/page_table.py:200-267)."""
+        slot = self.slot_of_seq[seq_id]
+        keep_pages = -(-keep_tokens // self.page_size)  # cdiv, [L, H]
+        self._shrink_slot(slot, keep_pages.astype(np.int32))
+
+    def _shrink_slot(self, slot: int, keep_pages: np.ndarray) -> None:
+        hs = self.heads_per_shard
+        cols = np.arange(self.max_pages_per_head, dtype=np.int32)
+        for l in range(self.L):
+            cur = self.num_pages[l, slot]  # [H]
+            keep = np.minimum(keep_pages[l], cur)
+            if (keep == cur).all():
+                continue
+            mask = (cols[None, :] >= keep[:, None]) & (cols[None, :] < cur[:, None])
+            for s in range(self.S):
+                m = mask[s * hs : (s + 1) * hs]
+                if not m.any():
+                    continue
+                freed = self.page_table[l, slot, s * hs : (s + 1) * hs][m]
+                cnt = self.free_count[l, s]
+                self.free[l, s, cnt : cnt + freed.size] = freed
+                self.free_count[l, s] = cnt + freed.size
+            self.num_pages[l, slot] = keep
+
+    def _free_all_pages(self, slot: int) -> None:
+        self._shrink_slot(slot, np.zeros((self.L, self.H), np.int32))
+
+    # ------------------------------------------------------------------ debug
+
+    def check_invariants(self) -> None:
+        """Every page id is either free or allocated exactly once (tests)."""
+        for l in range(self.L):
+            for s in range(self.S):
+                seen = set(self.free[l, s, : self.free_count[l, s]].tolist())
+                assert len(seen) == int(self.free_count[l, s]), "duplicate free page"
+                for slot in range(self.num_slots):
+                    for hl in range(self.heads_per_shard):
+                        h = s * self.heads_per_shard + hl
+                        n = int(self.num_pages[l, slot, h])
+                        for p in self.page_table[l, slot, h, :n].tolist():
+                            assert p not in seen, "page both free and allocated"
+                            seen.add(p)
+                assert len(seen) <= self.P

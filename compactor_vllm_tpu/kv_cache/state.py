@@ -1,0 +1,253 @@
+"""Device-resident paged KV cache state and store (write) operations.
+
+Layout
+------
+Pages are per-(layer, shard) pools of `[page_size, head_dim]` tiles; one page
+holds tokens of a single kv head, enabling head-sparse retained lengths
+(reference layout: kv_cache/page_table.py:93-109). On TPU we keep the pools
+as one array `[L, S, P, page_size, D]` (lane dim = head_dim) plus a trailing
+trash page used as the scatter target for padded lanes.
+
+Writes are expressed as `jnp` row scatters into the page-flattened cache.
+The reference claims cache slots with `tl.atomic_add` producing a scrambled
+order within each head (store_kv_cache.py:10-77); TPUs have no cheap global
+atomics, so the compressed store instead computes deterministic per-head
+offsets with a stable sort + segment ranks — same multiset-of-tokens
+semantics, fully SPMD-reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KVCacheState(NamedTuple):
+    """Pytree carried through jitted steps (donated for in-place updates)."""
+
+    # [L*S*P*page_size + page_size, D]; final page is the trash target.
+    k_pages: jax.Array
+    v_pages: jax.Array
+    # [L, B, H, max_pages_per_head] shard-local page ids.
+    page_table: jax.Array
+    # [L, B, H] retained token count per (layer, slot, head).
+    bh_lens: jax.Array
+
+
+class KVCacheGeometry(NamedTuple):
+    num_layers: int
+    num_shards: int
+    pages_per_shard: int
+    page_size: int
+    num_kv_heads: int
+    head_dim: int
+    num_slots: int
+    max_pages_per_head: int
+
+    @property
+    def heads_per_shard(self) -> int:
+        return self.num_kv_heads // self.num_shards
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.pages_per_shard * self.page_size
+
+    @property
+    def num_rows(self) -> int:
+        """Valid cache rows, excluding the trash page."""
+        return self.num_layers * self.num_shards * self.rows_per_shard
+
+
+def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
+    rows = geom.num_rows + geom.page_size
+    return KVCacheState(
+        k_pages=jnp.zeros((rows, geom.head_dim), dtype=dtype),
+        v_pages=jnp.zeros((rows, geom.head_dim), dtype=dtype),
+        page_table=jnp.zeros(
+            (geom.num_layers, geom.num_slots, geom.num_kv_heads, geom.max_pages_per_head),
+            jnp.int32,
+        ),
+        bh_lens=jnp.zeros(
+            (geom.num_layers, geom.num_slots, geom.num_kv_heads), jnp.int32
+        ),
+    )
+
+
+def kv_cache_hbm_bytes(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> int:
+    itemsize = jnp.dtype(dtype).itemsize
+    rows = geom.num_rows + geom.page_size
+    kv = 2 * rows * geom.head_dim * itemsize
+    pt = (
+        geom.num_layers
+        * geom.num_slots
+        * geom.num_kv_heads
+        * geom.max_pages_per_head
+        * 4
+    )
+    lens = geom.num_layers * geom.num_slots * geom.num_kv_heads * 4
+    return kv + pt + lens
+
+
+def _cache_rows(
+    geom: KVCacheGeometry,
+    layer,
+    page_table_l: jax.Array,  # [B, H, maxp]
+    slots: jax.Array,  # [...] batch-slot per element
+    heads: jax.Array,  # [...] kv head per element
+    positions: jax.Array,  # [...] token position within the head's stream
+    valid: jax.Array,  # [...] bool
+) -> jax.Array:
+    """Map (slot, head, position) to flat cache row ids; invalid -> trash rows.
+
+    The trash region is a full page at the end of the cache, so every lane of a
+    padded vector store still lands in-bounds without read-modify-write hazards.
+    """
+    page_col = positions // geom.page_size
+    offset = positions % geom.page_size
+    page_id = page_table_l[slots, heads, page_col]
+    shard = heads // geom.heads_per_shard
+    base = (layer * geom.num_shards + shard) * geom.rows_per_shard
+    rows = base + page_id * geom.page_size + offset
+    trash = geom.num_rows + (positions % geom.page_size)
+    return jnp.where(valid, rows, trash)
+
+
+def store_prefill_full(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    layer,
+    k_new: jax.Array,  # [T, H, D] packed varlen (padded)
+    v_new: jax.Array,
+    token_seq_idx: jax.Array,  # [T] sequence index within batch (pad rows -> any)
+    token_in_seq_pos: jax.Array,  # [T] 0-based index of token within its sequence
+    token_valid: jax.Array,  # [T] bool
+    slots: jax.Array,  # [Bp] batch slot per sequence
+    cached_lens: jax.Array,  # [Bp, H] snapshot lens before this prefill
+    seq_lens: jax.Array,  # [Bp] new token count per sequence
+    seq_valid: jax.Array,  # [Bp] bool
+) -> KVCacheState:
+    """Uncompressed prefill store: append every new token to every head
+    (reference: kv_cache/store_kv_cache.py:252-371)."""
+    T, H, D = k_new.shape
+    pt_l = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
+    tok_slot = slots[token_seq_idx]  # [T]
+    heads = jnp.arange(H, dtype=jnp.int32)[None, :]  # [1, H]
+    pos = cached_lens[token_seq_idx] + token_in_seq_pos[:, None]  # [T, H]
+    rows = _cache_rows(
+        geom,
+        layer,
+        pt_l,
+        tok_slot[:, None],
+        jnp.broadcast_to(heads, (T, H)),
+        pos,
+        token_valid[:, None],
+    )
+    rows = rows.reshape(T * H)
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(T * H, D))
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(T * H, D))
+
+    new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
+    bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
+    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+
+
+def store_prefill_topk(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    layer,
+    k_new: jax.Array,  # [T, H, D]
+    v_new: jax.Array,
+    topk_idx: jax.Array,  # [Bp, K] flat (token_in_seq * H + head) per sequence
+    topk_valid: jax.Array,  # [Bp, K] bool (k < retain_budget[b])
+    cu_seqlens: jax.Array,  # [Bp+1]
+    slots: jax.Array,  # [Bp]
+    cached_lens: jax.Array,  # [Bp, H]
+    seq_valid: jax.Array,  # [Bp]
+) -> KVCacheState:
+    """Compressed prefill store: scatter only the selected (token, head) pairs.
+
+    Deterministic replacement for the reference's atomic slot claiming
+    (store_kv_cache.py:10-77): entries are stable-sorted by head per sequence,
+    so each selected pair's position within its head's stream is its rank.
+    Within-head order is by selection rank — a permutation of the reference's
+    scrambled order; attention is permutation-invariant over cached keys.
+    """
+    T, H, D = k_new.shape
+    Bp, K = topk_idx.shape
+    pt_l = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
+
+    head = (topk_idx % H).astype(jnp.int32)  # [Bp, K]
+    tok_in_seq = (topk_idx // H).astype(jnp.int32)
+    # Invalid entries get head id H so they sort to the end of each row.
+    head_key = jnp.where(topk_valid, head, H)
+    order = jnp.argsort(head_key, axis=1, stable=True)  # [Bp, K]
+    head_sorted = jnp.take_along_axis(head_key, order, axis=1)
+    counts = jax.vmap(lambda h: jnp.bincount(h, length=H + 1))(head_sorted)  # [Bp,H+1]
+    starts = jnp.concatenate(
+        [jnp.zeros((Bp, 1), counts.dtype), jnp.cumsum(counts, axis=1)[:, :-1]], axis=1
+    )
+    rank_sorted = jnp.arange(K, dtype=jnp.int32)[None, :] - jnp.take_along_axis(
+        starts, head_sorted, axis=1
+    ).astype(jnp.int32)
+    # Scatter ranks back to original top-k order.
+    rank = jnp.zeros_like(rank_sorted).at[
+        jnp.arange(Bp)[:, None], order
+    ].set(rank_sorted)
+
+    seq_idx = jnp.arange(Bp, dtype=jnp.int32)[:, None]
+    valid = topk_valid & seq_valid[:, None]
+    pos = cached_lens[seq_idx, head] + rank  # [Bp, K]
+    rows = _cache_rows(
+        geom, layer, pt_l, slots[seq_idx], head, pos, valid
+    ).reshape(Bp * K)
+
+    # Gather the selected new K/V rows (packed index = cu_seqlens[b] + token).
+    src = (cu_seqlens[:-1][:, None] + tok_in_seq) * H + head  # [Bp, K]
+    src = jnp.where(valid, src, 0).reshape(Bp * K)
+    k_sel = k_new.reshape(T * H, D)[src]
+    v_sel = v_new.reshape(T * H, D)[src]
+
+    k_pages = state.k_pages.at[rows].set(k_sel)
+    v_pages = state.v_pages.at[rows].set(v_sel)
+
+    retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
+    new_lens = cached_lens + retained
+    bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
+    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+
+
+def store_decode(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    layer,
+    k_new: jax.Array,  # [Bd, H, D] one token per slot
+    v_new: jax.Array,
+    slots: jax.Array,  # [Bd]
+    valid: jax.Array,  # [Bd] bool
+) -> KVCacheState:
+    """Decode append: one token per (slot, head) at the current length
+    (reference: kv_cache/store_kv_cache.py:374-466)."""
+    Bd, H, D = k_new.shape
+    pt_l = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
+    lens_l = jax.lax.dynamic_index_in_dim(state.bh_lens, layer, 0, keepdims=False)
+    cur = lens_l[slots]  # [Bd, H]
+    heads = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (Bd, H))
+    rows = _cache_rows(
+        geom, layer, pt_l, slots[:, None], heads, cur, valid[:, None]
+    ).reshape(Bd * H)
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(Bd * H, D))
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(Bd * H, D))
+    bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
+    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+
+
+def _update_lens(bh_lens, layer, slots, new_lens, seq_valid):
+    """Set bh_lens[layer, slots] = new_lens for valid sequences."""
+    B = bh_lens.shape[1]
+    safe_slots = jnp.where(seq_valid, slots, B)  # OOB rows are dropped
+    layer_ids = jnp.broadcast_to(
+        jnp.asarray(layer, jnp.int32), safe_slots.shape
+    )
+    return bh_lens.at[layer_ids, safe_slots].set(new_lens, mode="drop")

@@ -1,0 +1,84 @@
+"""Request/sequence objects tracked by the engine.
+
+Capability parity with reference utils/sequence.py:10-83: a Sequence carries
+prompt and completion token ids, a status enum, per-sequence sampling and
+compression params, and a monotonically increasing id.
+"""
+
+from __future__ import annotations
+
+import enum
+import itertools
+from dataclasses import dataclass, field
+
+from compactor_vllm_tpu.config import SamplingParams, SequenceCompressionParams
+
+
+class SequenceStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    FINISHED = enum.auto()
+
+
+_seq_counter = itertools.count()
+
+
+@dataclass
+class Sequence:
+    prompt_token_ids: list[int]
+    sampling_params: SamplingParams = field(default_factory=SamplingParams)
+    compression_params: SequenceCompressionParams = field(
+        default_factory=SequenceCompressionParams
+    )
+    seq_id: int = field(default_factory=lambda: next(_seq_counter))
+    status: SequenceStatus = SequenceStatus.WAITING
+    completion_token_ids: list[int] = field(default_factory=list)
+
+    def __post_init__(self):
+        assert len(self.prompt_token_ids) >= 1, "empty prompt"
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def num_completion_tokens(self) -> int:
+        return len(self.completion_token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_prompt_tokens + self.num_completion_tokens
+
+    @property
+    def last_token(self) -> int:
+        if self.completion_token_ids:
+            return self.completion_token_ids[-1]
+        return self.prompt_token_ids[-1]
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status == SequenceStatus.FINISHED
+
+    def append_token(self, token_id: int) -> None:
+        self.completion_token_ids.append(token_id)
+
+    def effective_retain_budget(self, num_kv_heads: int) -> int:
+        """Total (token, head) pairs to retain for this sequence's prompt.
+
+        budget = round(ratio * (L - protected_first - protected_last) * H_kv),
+        clamped to >= 1 (reference: utils/arguments.py:109-122).
+        """
+        p = self.compression_params
+        span = self.num_prompt_tokens - p.protected_first_tokens - p.protected_last_tokens
+        return max(int(round(p.compression_ratio * span * num_kv_heads)), 1)
+
+    def clamp_compression_if_protected(self) -> None:
+        """Disable compression when protected regions cover the whole prompt
+        (reference: core/llm_engine.py:144-145)."""
+        p = self.compression_params
+        if p.protected_first_tokens + p.protected_last_tokens >= self.num_prompt_tokens:
+            self.compression_params = SequenceCompressionParams(
+                compression_ratio=1.0,
+                protected_first_tokens=p.protected_first_tokens,
+                protected_last_tokens=p.protected_last_tokens,
+            )

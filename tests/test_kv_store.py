@@ -1,0 +1,194 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
+from compactor_vllm_tpu.kv_cache.state import (
+    KVCacheGeometry,
+    init_kv_cache,
+    store_decode,
+    store_prefill_full,
+    store_prefill_topk,
+)
+from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
+
+GEOM = KVCacheGeometry(
+    num_layers=2,
+    num_shards=2,
+    pages_per_shard=32,
+    page_size=8,
+    num_kv_heads=4,
+    head_dim=16,
+    num_slots=5,
+    max_pages_per_head=8,
+)
+
+
+def setup(seq_lens, max_new=0):
+    rng = np.random.default_rng(0)
+    alloc = PageAllocator(
+        num_layers=GEOM.num_layers,
+        num_shards=GEOM.num_shards,
+        pages_per_shard=GEOM.pages_per_shard,
+        num_kv_heads=GEOM.num_kv_heads,
+        max_pages_per_head=GEOM.max_pages_per_head,
+        num_slots=GEOM.num_slots,
+        page_size=GEOM.page_size,
+    )
+    state = init_kv_cache(GEOM, dtype=jnp.float32)
+    slots = []
+    for i, L in enumerate(seq_lens):
+        alloc.alloc_slot(i)
+        alloc.reserve(i, L + max_new)
+        slots.append(alloc.slot_of_seq[i])
+    state = state._replace(page_table=jnp.asarray(alloc.page_table))
+    return rng, alloc, state, np.array(slots, np.int32)
+
+
+def packed_meta(seq_lens, pad_to=None):
+    T = sum(seq_lens)
+    Tp = pad_to or T
+    cu = np.zeros(len(seq_lens) + 1, np.int32)
+    cu[1:] = np.cumsum(seq_lens)
+    seq_idx = np.zeros(Tp, np.int32)
+    in_pos = np.zeros(Tp, np.int32)
+    valid = np.zeros(Tp, bool)
+    for b, L in enumerate(seq_lens):
+        seq_idx[cu[b] : cu[b + 1]] = b
+        in_pos[cu[b] : cu[b + 1]] = np.arange(L)
+        valid[cu[b] : cu[b + 1]] = True
+    return T, Tp, cu, seq_idx, in_pos, valid
+
+
+def test_store_full_roundtrip():
+    seq_lens = [13, 7]
+    rng, alloc, state, slots = setup(seq_lens)
+    T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens, pad_to=24)
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    k = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    v = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    cached = jnp.zeros((2, H), jnp.int32)
+    for layer in range(GEOM.num_layers):
+        state = store_prefill_full(
+            GEOM, state, layer, jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(seq_idx), jnp.asarray(in_pos), jnp.asarray(valid),
+            jnp.asarray(slots), cached, jnp.asarray(np.array(seq_lens, np.int32)),
+            jnp.ones(2, bool),
+        )
+    for layer in range(GEOM.num_layers):
+        kd, vd, lens = gather_cache_dense(GEOM, state, layer, jnp.asarray(slots), 16)
+        kd, vd, lens = np.asarray(kd), np.asarray(vd), np.asarray(lens)
+        for b, L in enumerate(seq_lens):
+            assert (lens[b] == L).all()
+            for h in range(H):
+                np.testing.assert_allclose(kd[b, h, :L], k[cu[b] : cu[b + 1], h])
+                np.testing.assert_allclose(vd[b, h, :L], v[cu[b] : cu[b + 1], h])
+
+
+def test_store_decode_appends():
+    seq_lens = [5, 3]
+    rng, alloc, state, slots = setup(seq_lens, max_new=4)
+    T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens)
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    k = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    v = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    cached = jnp.zeros((2, H), jnp.int32)
+    state = store_prefill_full(
+        GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(seq_idx), jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray(slots), cached, jnp.asarray(np.array(seq_lens, np.int32)),
+        jnp.ones(2, bool),
+    )
+    kd1 = rng.normal(size=(2, H, D)).astype(np.float32)
+    vd1 = rng.normal(size=(2, H, D)).astype(np.float32)
+    state = store_decode(
+        GEOM, state, 0, jnp.asarray(kd1), jnp.asarray(vd1),
+        jnp.asarray(slots), jnp.ones(2, bool),
+    )
+    kd, vd, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
+    lens = np.asarray(lens)
+    for b, L in enumerate(seq_lens):
+        assert (lens[b] == L + 1).all()
+        for h in range(H):
+            np.testing.assert_allclose(np.asarray(kd)[b, h, L], kd1[b, h])
+            np.testing.assert_allclose(np.asarray(vd)[b, h, L], vd1[b, h])
+
+
+def test_store_decode_respects_valid_mask():
+    seq_lens = [5, 3]
+    rng, alloc, state, slots = setup(seq_lens, max_new=4)
+    T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens)
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    k = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    v = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    state = store_prefill_full(
+        GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(seq_idx), jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray(slots), jnp.zeros((2, H), jnp.int32),
+        jnp.asarray(np.array(seq_lens, np.int32)), jnp.ones(2, bool),
+    )
+    kd1 = rng.normal(size=(2, H, D)).astype(np.float32)
+    state = store_decode(
+        GEOM, state, 0, jnp.asarray(kd1), jnp.asarray(kd1),
+        jnp.asarray(slots), jnp.asarray([True, False]),
+    )
+    _, _, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
+    assert (np.asarray(lens)[0] == 6).all()
+    assert (np.asarray(lens)[1] == 3).all()
+
+
+def test_store_topk_multiset():
+    """Per-head retained counts match the top-k head distribution and stored
+    K/V match as multisets (order within a head is unspecified) —
+    same invariant as reference tests/test_store_kv.py:163-173."""
+    seq_lens = [12, 9]
+    rng, alloc, state, slots = setup(seq_lens)
+    T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens)
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    k = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    v = rng.normal(size=(Tp, H, D)).astype(np.float32)
+
+    retain = [20, 11]
+    K = max(retain)
+    idx = np.zeros((2, K), np.int64)
+    valid_k = np.zeros((2, K), bool)
+    sel = {}
+    for b, L in enumerate(seq_lens):
+        pairs = rng.choice(L * H, size=retain[b], replace=False)
+        idx[b, : retain[b]] = pairs
+        valid_k[b, : retain[b]] = True
+        sel[b] = [(p // H, p % H) for p in pairs]
+
+    state = store_prefill_topk(
+        GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(idx), jnp.asarray(valid_k), jnp.asarray(cu),
+        jnp.asarray(slots), jnp.zeros((2, H), jnp.int32), jnp.ones(2, bool),
+    )
+    kd, vd, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
+    kd, lens = np.asarray(kd), np.asarray(lens)
+    for b in range(2):
+        for h in range(H):
+            expect_tokens = sorted(t for (t, hh) in sel[b] if hh == h)
+            assert lens[b, h] == len(expect_tokens)
+            got = kd[b, h, : lens[b, h]]
+            want = k[cu[b] + np.array(expect_tokens, int), h]
+            got_sorted = got[np.lexsort(got.T)]
+            want_sorted = want[np.lexsort(want.T)]
+            np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-6)
+
+
+def test_store_topk_invalid_seq_untouched():
+    seq_lens = [6, 6]
+    rng, alloc, state, slots = setup(seq_lens)
+    T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens)
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    k = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    idx = np.tile(np.arange(8, dtype=np.int64)[None], (2, 1))
+    state = store_prefill_topk(
+        GEOM, state, 0, jnp.asarray(k), jnp.asarray(k),
+        jnp.asarray(idx), jnp.ones((2, 8), bool), jnp.asarray(cu),
+        jnp.asarray(slots), jnp.zeros((2, H), jnp.int32),
+        jnp.asarray([True, False]),
+    )
+    _, _, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
+    assert np.asarray(lens)[1].sum() == 0
