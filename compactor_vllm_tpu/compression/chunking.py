@@ -1,0 +1,111 @@
+"""Packed-varlen ↔ fixed-chunk scatter machinery for compression scoring.
+
+The reference chunks each sequence on the host into ragged 512-token pieces
+and loops (compression/compactor.py:62-110). Under XLA everything must be
+static-shaped: we map every packed token to a global chunk id
+`base[seq] + in_pos // C` where `base` is the running count of chunks over
+preceding sequences. The chunk space has static size
+`NC = ceil(T_pad / C) + B_pad` (each sequence adds at most one partial chunk),
+so scatter/gather between packed [T, ...] and chunked [NC, C, ...] layouts is
+a fixed-shape gather — no host loops, no recompilation per batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ChunkMeta(NamedTuple):
+    gcid: jax.Array  # [T] global chunk id per token (invalid -> NC)
+    cpos: jax.Array  # [T] position within chunk
+    chunk_valid_count: jax.Array  # [NC] number of valid tokens per chunk
+    chunk_seq: jax.Array  # [NC] owning sequence (invalid chunks -> Bp)
+    num_chunks: int  # static NC
+
+
+def static_num_chunks(t_pad: int, b_pad: int, chunk_size: int) -> int:
+    return -(-t_pad // chunk_size) + b_pad
+
+
+def make_chunk_meta(
+    cu_seqlens: jax.Array,  # [Bp+1]
+    token_seq_idx: jax.Array,  # [T]
+    token_in_pos: jax.Array,  # [T]
+    token_valid: jax.Array,  # [T]
+    chunk_size: int,
+    num_chunks: int,
+) -> ChunkMeta:
+    lens = cu_seqlens[1:] - cu_seqlens[:-1]  # [Bp]
+    nchunks = -(-lens // chunk_size)
+    base = jnp.concatenate(
+        [jnp.zeros(1, lens.dtype), jnp.cumsum(nchunks)[:-1]]
+    )  # [Bp]
+    gcid = base[token_seq_idx] + token_in_pos // chunk_size
+    gcid = jnp.where(token_valid, gcid, num_chunks).astype(jnp.int32)
+    cpos = (token_in_pos % chunk_size).astype(jnp.int32)
+
+    # Per-chunk owning sequence and valid-token count.
+    cid = jnp.arange(num_chunks, dtype=jnp.int32)
+    # searchsorted over base: seq = rightmost b with base[b] <= cid
+    chunk_seq = (
+        jnp.searchsorted(base, cid, side="right").astype(jnp.int32) - 1
+    )
+    chunk_seq = jnp.clip(chunk_seq, 0, lens.shape[0] - 1)
+    local = cid - base[chunk_seq]
+    count = jnp.clip(lens[chunk_seq] - local * chunk_size, 0, chunk_size)
+    total_chunks = jnp.sum(nchunks)
+    live = cid < total_chunks
+    chunk_seq = jnp.where(live, chunk_seq, lens.shape[0]).astype(jnp.int32)
+    count = jnp.where(live, count, 0).astype(jnp.int32)
+    return ChunkMeta(gcid, cpos, count, chunk_seq, num_chunks)
+
+
+def scatter_to_chunks(x: jax.Array, meta: ChunkMeta, chunk_size: int) -> jax.Array:
+    """[T, ...] packed -> [NC, C, ...]; invalid tokens dropped, holes zero."""
+    out = jnp.zeros((meta.num_chunks, chunk_size) + x.shape[1:], x.dtype)
+    return out.at[meta.gcid, meta.cpos].set(x, mode="drop")
+
+
+def gather_from_chunks(xc: jax.Array, meta: ChunkMeta) -> jax.Array:
+    """[NC, C, ...] -> [T, ...]; invalid tokens read zeros (drop+fill)."""
+    return xc.at[meta.gcid, meta.cpos].get(mode="fill", fill_value=0)
+
+
+def chunk_row_mask(meta: ChunkMeta, chunk_size: int) -> jax.Array:
+    """[NC, C] validity mask of chunk rows."""
+    return (
+        jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
+        < meta.chunk_valid_count[:, None]
+    )
+
+
+def segment_zscore(
+    scores: jax.Array,  # [T, H]
+    seg_ids: jax.Array,  # [T] segment id per token (invalid -> num_segments)
+    valid: jax.Array,  # [T] bool
+    num_segments: int,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Z-score over (tokens x heads) within each segment
+    (reference epilogue: compression/compactor.py:224-269)."""
+    H = scores.shape[1]
+    sf = scores.astype(jnp.float32)
+    vf = valid.astype(jnp.float32)[:, None]
+    sid = jnp.where(valid, seg_ids, num_segments)
+    sums = jax.ops.segment_sum(
+        (sf * vf).sum(axis=1), sid, num_segments=num_segments + 1
+    )
+    sqs = jax.ops.segment_sum(
+        (sf * sf * vf).sum(axis=1), sid, num_segments=num_segments + 1
+    )
+    cnt = jax.ops.segment_sum(
+        jnp.full(scores.shape[0], float(H)) * vf[:, 0], sid, num_segments + 1
+    )
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = sums / cnt
+    var = jnp.maximum(sqs / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return (sf - mean[sid][:, None]) * inv[sid][:, None]

@@ -145,6 +145,8 @@ class LLMConfig:
         ), "page size must be a power of two >= 8"
         assert 1 <= self.tensor_parallel_size <= 64
         assert 0.0 < self.hbm_utilization <= 1.0
+        # No chunked prefill yet: a whole prompt must fit in one prefill batch.
+        self.max_num_batched_tokens = max(self.max_num_batched_tokens, self.max_model_len)
         if not self.prefill_token_buckets:
             buckets = []
             b = 256
@@ -153,6 +155,13 @@ class LLMConfig:
                 b *= 2
             buckets.append(self.max_num_batched_tokens)
             self.prefill_token_buckets = tuple(buckets)
+        # Buckets define prefill token capacity: they must cover a whole
+        # prompt, and the batch budget must never exceed the largest bucket.
+        if self.prefill_token_buckets[-1] < self.max_model_len:
+            self.prefill_token_buckets = self.prefill_token_buckets + (self.max_model_len,)
+        self.max_num_batched_tokens = min(
+            self.max_num_batched_tokens, self.prefill_token_buckets[-1]
+        )
         if not self.decode_batch_buckets:
             buckets = []
             b = 8

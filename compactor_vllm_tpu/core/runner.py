@@ -1,0 +1,364 @@
+"""ModelRunner: compiled prefill/decode steps + the continuous-batching loop.
+
+TPU execution model (vs reference core/model_runner.py:29-555):
+- CUDA-graph capture is replaced by XLA compilation over *static shape
+  buckets*: prefill steps compile per (padded-token, padded-batch) bucket and
+  decode steps per padded-batch bucket; the compile cache plays the role of
+  the reference's graph table (model_runner.py:493-545).
+- The cache pytree is donated to every step, so page/lens updates are
+  in-place in HBM.
+- The master/peer NCCL broadcast choreography disappears: the engine is SPMD;
+  sampling uses a deterministic PRNG so every process computes identical
+  tokens (SURVEY.md §2.8 TPU-native equivalent).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compactor_vllm_tpu.compression.compactor import make_phi
+from compactor_vllm_tpu.config import (
+    AttentionBackend,
+    BatchCompressionParams,
+    CompressionMethod,
+    LLMConfig,
+    cdiv,
+)
+from compactor_vllm_tpu.core.scheduler import Scheduler
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
+from compactor_vllm_tpu.kv_cache.state import (
+    KVCacheGeometry,
+    init_kv_cache,
+    kv_cache_hbm_bytes,
+)
+from compactor_vllm_tpu.layers.ops import sample_tokens
+from compactor_vllm_tpu.models.transformer import (
+    AttentionImpl,
+    CompressionStatic,
+    DecodeMeta,
+    ModelSpec,
+    PrefillMeta,
+    forward,
+    compute_logits,
+    prefill_logits,
+    reference_attention_impl,
+)
+from compactor_vllm_tpu.utils.sequence import Sequence
+
+logger = logging.getLogger(__name__)
+
+# Refill trigger: re-enter prefill when the decode batch drains below this
+# fraction of its target occupancy (reference: model_runner.py:297-315).
+DECODE_OCCUPANCY = 0.66
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _pow2_bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        cfg: LLMConfig,
+        spec: ModelSpec,
+        params,
+        *,
+        cache_dtype=jnp.bfloat16,
+        attention_impl: AttentionImpl | None = None,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.params = params
+        num_pages = cfg.num_kv_pages or self._derive_num_pages(cache_dtype)
+        self.geom = KVCacheGeometry(
+            num_layers=spec.num_layers,
+            num_shards=1,
+            pages_per_shard=num_pages,
+            page_size=cfg.kvcache_page_size,
+            num_kv_heads=spec.num_kv_heads,
+            head_dim=spec.head_dim,
+            num_slots=cfg.max_num_seqs + 1,
+            max_pages_per_head=cfg.max_pages_per_head,
+        )
+        self.cache = init_kv_cache(self.geom, dtype=cache_dtype)
+        self.alloc = PageAllocator(
+            num_layers=self.geom.num_layers,
+            num_shards=self.geom.num_shards,
+            pages_per_shard=self.geom.pages_per_shard,
+            num_kv_heads=self.geom.num_kv_heads,
+            max_pages_per_head=self.geom.max_pages_per_head,
+            num_slots=self.geom.num_slots,
+            page_size=self.geom.page_size,
+        )
+        self.scheduler = Scheduler(cfg, self.alloc)
+        self.phi = make_phi(spec.head_dim, cfg.leverage_sketch_size)
+        if attention_impl is None:
+            max_cache = self.geom.max_pages_per_head * self.geom.page_size
+            attention_impl = reference_attention_impl(0, max_cache)
+        self.attn = attention_impl
+        self._fn_cache: dict = {}
+        self._base_key = jax.random.PRNGKey(cfg.seed)
+        self._step = 0
+
+    # -------------------------------------------------------------- geometry
+
+    def _derive_num_pages(self, cache_dtype) -> int:
+        """Derive the page-pool size from free HBM (reference:
+        core/memory_manager.py:92-126). Falls back to a small pool on CPU."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = int(stats["bytes_limit"] * self.cfg.hbm_utilization)
+            in_use = int(stats.get("bytes_in_use", 0))
+            budget = limit - in_use
+        except Exception:
+            return 4096  # CPU/test fallback
+        probe = KVCacheGeometry(
+            num_layers=self.spec.num_layers,
+            num_shards=1,
+            pages_per_shard=1,
+            page_size=self.cfg.kvcache_page_size,
+            num_kv_heads=self.spec.num_kv_heads,
+            head_dim=self.spec.head_dim,
+            num_slots=self.cfg.max_num_seqs + 1,
+            max_pages_per_head=self.cfg.max_pages_per_head,
+        )
+        fixed = kv_cache_hbm_bytes(probe, cache_dtype)
+        per_page = (
+            2
+            * self.spec.num_layers
+            * self.cfg.kvcache_page_size
+            * self.spec.head_dim
+            * jnp.dtype(cache_dtype).itemsize
+        )
+        # Reserve headroom for activations: ~2 bytes/token/hidden * depth fudge.
+        act = self.cfg.max_num_batched_tokens * self.spec.hidden_size * 64
+        n = max((budget - fixed - act) // per_page, 64)
+        logger.info("derived KV pool: %d pages/(layer,shard)", n)
+        return int(n)
+
+    # -------------------------------------------------------- compiled steps
+
+    def _comp_static(self, bp: BatchCompressionParams, seqs) -> CompressionStatic:
+        if bp.compression_method == CompressionMethod.NONE:
+            return CompressionStatic(method=CompressionMethod.NONE)
+        max_retain = max(s.effective_retain_budget(self.spec.num_kv_heads) for s in seqs)
+        return CompressionStatic(
+            method=bp.compression_method,
+            chunked=bp.do_chunked_compression,
+            chunk_size=bp.chunk_size,
+            topk_static=_pow2_bucket(max_retain, 16),
+        )
+
+    def _prefill_fn(self, t_pad: int, b_pad: int, comp: CompressionStatic):
+        key = ("prefill", t_pad, b_pad, comp)
+        if key not in self._fn_cache:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def step(params, cache, meta: PrefillMeta, temps, rng):
+                cache, hidden = forward(
+                    params, cache, meta, spec=self.spec, geom=self.geom,
+                    comp=comp, attn=self.attn, is_prefill=True, max_q=t_pad,
+                )
+                logits = prefill_logits(params, self.spec, hidden, meta.cu_seqlens)
+                tokens = sample_tokens(logits, temps, rng)
+                return cache, tokens
+
+            self._fn_cache[key] = step
+        return self._fn_cache[key]
+
+    def _decode_fn(self, b_pad: int):
+        key = ("decode", b_pad)
+        if key not in self._fn_cache:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def step(params, cache, meta: DecodeMeta, temps, rng):
+                cache, hidden = forward(
+                    params, cache, meta, spec=self.spec, geom=self.geom,
+                    comp=CompressionStatic(method=CompressionMethod.NONE),
+                    attn=self.attn, is_prefill=False,
+                )
+                logits = compute_logits(params, self.spec, hidden)
+                tokens = sample_tokens(logits, temps, rng)
+                return cache, tokens
+
+            self._fn_cache[key] = step
+        return self._fn_cache[key]
+
+    def _next_key(self):
+        self._step += 1
+        return jax.random.fold_in(self._base_key, self._step)
+
+    # ------------------------------------------------------------ page table
+
+    def sync_page_table(self, updates: list[SlotUpdate]) -> None:
+        """Push freshly allocated page-table rows to the device."""
+        if not updates:
+            return
+        slots = np.array([u.slot for u in updates], np.int32)
+        rows = self.alloc.page_table[:, slots]  # [L, n, H, maxp]
+        self.cache = self.cache._replace(
+            page_table=self.cache.page_table.at[:, slots].set(jnp.asarray(rows))
+        )
+
+    # ------------------------------------------------------------- execution
+
+    def run_prefill(self, seqs: list[Sequence], bp: BatchCompressionParams) -> np.ndarray:
+        B = len(seqs)
+        lens = [s.num_prompt_tokens for s in seqs]
+        T = sum(lens)
+        t_pad = _bucket(T, self.cfg.prefill_token_buckets)
+        b_pad = _bucket(B, self.cfg.decode_batch_buckets)
+        comp = self._comp_static(bp, seqs)
+
+        cu = np.zeros(b_pad + 1, np.int32)
+        cu[1 : B + 1] = np.cumsum(lens)
+        cu[B + 1 :] = cu[B]
+        ids = np.zeros(t_pad, np.int32)
+        seq_idx = np.zeros(t_pad, np.int32)
+        in_pos = np.zeros(t_pad, np.int32)
+        valid = np.zeros(t_pad, bool)
+        for i, s in enumerate(seqs):
+            sl = slice(cu[i], cu[i + 1])
+            ids[sl] = s.prompt_token_ids
+            seq_idx[sl] = i
+            in_pos[sl] = np.arange(lens[i])
+            valid[sl] = True
+        slots = np.zeros(b_pad, np.int32)
+        retain = np.ones(b_pad, np.int32)
+        pf = np.zeros(b_pad, np.int32)
+        pl = np.zeros(b_pad, np.int32)
+        temps = np.zeros(b_pad, np.float32)
+        for i, s in enumerate(seqs):
+            slots[i] = self.alloc.slot_of_seq[s.seq_id]
+            retain[i] = s.effective_retain_budget(self.spec.num_kv_heads)
+            pf[i] = s.compression_params.protected_first_tokens
+            pl[i] = s.compression_params.protected_last_tokens
+            temps[i] = s.sampling_params.temperature
+        seq_valid = np.arange(b_pad) < B
+
+        meta = PrefillMeta(
+            input_ids=jnp.asarray(ids),
+            positions=jnp.asarray(in_pos),
+            token_seq_idx=jnp.asarray(seq_idx),
+            token_in_pos=jnp.asarray(in_pos),
+            token_valid=jnp.asarray(valid),
+            cu_seqlens=jnp.asarray(cu),
+            slots=jnp.asarray(slots),
+            seq_valid=jnp.asarray(seq_valid),
+            retain=jnp.asarray(retain),
+            protected_first=jnp.asarray(pf),
+            protected_last=jnp.asarray(pl),
+            phi=self.phi,
+        )
+        fn = self._prefill_fn(t_pad, b_pad, comp)
+        self.cache, tokens = fn(
+            self.params, self.cache, meta, jnp.asarray(temps), self._next_key()
+        )
+        return np.asarray(tokens)[:B]
+
+    def reclaim_after_compression(self, seqs: list[Sequence]) -> None:
+        """Read back per-head retained lengths and return surplus pages
+        (reference: core/model_runner.py:288-291, memory_manager.py:171-182)."""
+        slots = np.array([self.alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32)
+        lens = np.asarray(self.cache.bh_lens[:, slots])  # [L, n, H]
+        for i, s in enumerate(seqs):
+            headroom = s.sampling_params.max_new_tokens
+            self.alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
+
+    def run_decode_step(self, seqs: list[Sequence]) -> np.ndarray:
+        B = len(seqs)
+        b_pad = _bucket(B, self.cfg.decode_batch_buckets)
+        ids = np.zeros(b_pad, np.int32)
+        pos = np.zeros(b_pad, np.int32)
+        slots = np.zeros(b_pad, np.int32)
+        temps = np.zeros(b_pad, np.float32)
+        for i, s in enumerate(seqs):
+            ids[i] = s.last_token
+            pos[i] = s.num_tokens - 1
+            slots[i] = self.alloc.slot_of_seq[s.seq_id]
+            temps[i] = s.sampling_params.temperature
+        valid = np.arange(b_pad) < B
+        meta = DecodeMeta(
+            input_ids=jnp.asarray(ids),
+            positions=jnp.asarray(pos),
+            slots=jnp.asarray(slots),
+            valid=jnp.asarray(valid),
+        )
+        fn = self._decode_fn(b_pad)
+        self.cache, tokens = fn(
+            self.params, self.cache, meta, jnp.asarray(temps), self._next_key()
+        )
+        return np.asarray(tokens)[:B]
+
+    # ------------------------------------------------------------- main loop
+
+    def generate(self, seqs: list[Sequence], bp: BatchCompressionParams) -> None:
+        """Continuous-batching master loop (reference:
+        core/model_runner.py:246-338): interleave greedy prefill batches with
+        decode runs, refilling when occupancy drops."""
+        self.scheduler.add(seqs)
+        active: list[Sequence] = []
+        eos = self.cfg.eos
+        compressing = bp.compression_method != CompressionMethod.NONE
+
+        def is_done(s: Sequence, token: int) -> bool:
+            return token == eos or s.num_completion_tokens >= s.sampling_params.max_new_tokens
+
+        while not self.scheduler.is_finished():
+            batch, updates = self.scheduler.schedule_prefill()
+            if not batch and not active and self.scheduler.waiting:
+                raise RuntimeError(
+                    "scheduler stuck: waiting sequences cannot be admitted "
+                    "(KV pool too small for prompt + max_new_tokens?)"
+                )
+            if batch:
+                self.sync_page_table(updates)
+                tokens = self.run_prefill(batch, bp)
+                if compressing:
+                    self.reclaim_after_compression(batch)
+                for s, t in zip(batch, tokens):
+                    s.append_token(int(t))
+                    if is_done(s, int(t)):
+                        self.scheduler.finish(s)
+                    else:
+                        active.append(s)
+                if self.scheduler.waiting and self.alloc.num_free_slots > 0:
+                    # Stack more prefill while there is capacity
+                    # (reference: model_runner.py:306,320-321).
+                    if self.alloc.can_reserve(
+                        min(
+                            self.scheduler.waiting[0].num_prompt_tokens
+                            + self.scheduler.waiting[0].sampling_params.max_new_tokens,
+                            self.cfg.max_model_len,
+                        )
+                    ):
+                        continue
+
+            refill_at = int(DECODE_OCCUPANCY * max(len(active), 1))
+            while active:
+                tokens = self.run_decode_step(active)
+                still = []
+                for s, t in zip(active, tokens):
+                    s.append_token(int(t))
+                    if is_done(s, int(t)):
+                        self.scheduler.finish(s)
+                    else:
+                        still.append(s)
+                active = still
+                if self.scheduler.waiting and len(active) <= refill_at:
+                    break

@@ -1,0 +1,44 @@
+"""Mixture-of-experts block (Qwen3-MoE style).
+
+TPU-native replacement for the reference's vendored Triton outer-gather-
+scatter grouped GEMM + fused routing (triton_kernels/matmul_ogs.py:299,
+routing.py:395; wired in models/qwen3_moe.py:143-184): tokens are stable-
+sorted by expert, expert GEMMs run as `jax.lax.ragged_dot` (XLA's grouped
+matmul, MXU-tiled), and outputs are combined with a weighted scatter-add.
+Capacity-free: every routed (token, expert) pair is computed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from compactor_vllm_tpu.layers.ops import silu_and_mul
+
+
+def moe_block(spec, lp: dict, x: jax.Array) -> jax.Array:
+    N, Hd = x.shape
+    E, K = spec.num_experts, spec.num_experts_per_tok
+    logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, K)  # [N, K]
+    if spec.norm_topk_prob:
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+
+    flat_expert = topi.reshape(-1).astype(jnp.int32)  # [N*K]
+    flat_token = (jnp.arange(N * K, dtype=jnp.int32)) // K
+    order = jnp.argsort(flat_expert, stable=True)
+    sorted_expert = flat_expert[order]
+    sorted_token = flat_token[order]
+    group_sizes = jnp.bincount(sorted_expert, length=E)
+
+    xs = x[sorted_token]  # [N*K, Hd]
+    h = jax.lax.ragged_dot(xs, lp["gate_up_proj"], group_sizes)
+    h = silu_and_mul(h)
+    ys = jax.lax.ragged_dot(h, lp["down_proj"], group_sizes)  # [N*K, Hd]
+
+    w = topv.reshape(-1)[order].astype(jnp.float32)
+    out = jnp.zeros((N, Hd), jnp.float32).at[sorted_token].add(
+        ys.astype(jnp.float32) * w[:, None]
+    )
+    return out.astype(x.dtype)

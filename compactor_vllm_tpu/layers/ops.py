@@ -1,0 +1,112 @@
+"""Core layer math: RMSNorm, rotary embeddings, activation, sampling.
+
+These are plain jnp functions fused by XLA inside the jitted step — the TPU
+replacement for the reference's @torch.compile layer modules
+(reference: layers/layernorm.py:5-49, layers/rotary_embedding.py:8-94,
+layers/activation.py:6-13, layers/sampler.py:5-27).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rms_norm_fused_add(x: jax.Array, residual: jax.Array | None, weight: jax.Array, eps: float):
+    """Fused residual-add + RMSNorm returning (normed, new_residual)
+    (reference: layers/layernorm.py:27-39)."""
+    if residual is not None:
+        x = x + residual
+    return rms_norm(x, weight, eps), x
+
+
+def llama3_scaled_inv_freq(
+    inv_freq: jax.Array,
+    factor: float,
+    low_freq_factor: float,
+    high_freq_factor: float,
+    original_max_position: int,
+) -> jax.Array:
+    """Llama-3.1 wavelength-banded rope frequency rescaling
+    (reference: layers/rotary_embedding.py:34-60; matches HF implementation)."""
+    low_freq_wavelen = original_max_position / low_freq_factor
+    high_freq_wavelen = original_max_position / high_freq_factor
+    wavelen = 2.0 * math.pi / inv_freq
+    scaled = inv_freq / factor
+    smooth = (original_max_position / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    smoothed = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+    out = jnp.where(wavelen > low_freq_wavelen, scaled, inv_freq)
+    mid = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
+    return jnp.where(mid, smoothed, out)
+
+
+def make_inv_freq(head_dim: int, rope_theta: float, rope_scaling: dict | None) -> jax.Array:
+    inv_freq = 1.0 / (
+        rope_theta
+        ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    if rope_scaling and rope_scaling.get("rope_type", rope_scaling.get("type")) == "llama3":
+        inv_freq = llama3_scaled_inv_freq(
+            inv_freq,
+            factor=rope_scaling["factor"],
+            low_freq_factor=rope_scaling["low_freq_factor"],
+            high_freq_factor=rope_scaling["high_freq_factor"],
+            original_max_position=rope_scaling["original_max_position_embeddings"],
+        )
+    return inv_freq
+
+
+def apply_rope(
+    q: jax.Array,  # [T, HQ, D]
+    k: jax.Array,  # [T, H, D]
+    positions: jax.Array,  # [T]
+    inv_freq: jax.Array,  # [D/2]
+):
+    """Neox-style rotate-half rotary embedding, computed from positions on the
+    fly (no cos/sin cache needed on TPU — it fuses into the step)."""
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, D/2]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        d2 = x.shape[-1] // 2
+        x1, x2 = xf[..., :d2], xf[..., d2:]
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def silu_and_mul(x: jax.Array) -> jax.Array:
+    """SwiGLU activation on a packed [..., 2*I] gate_up projection
+    (reference: layers/activation.py:6-13)."""
+    gate, up = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+
+
+def sample_tokens(
+    logits: jax.Array,  # [B, V]
+    temperatures: jax.Array,  # [B]
+    key: jax.Array,
+) -> jax.Array:
+    """Greedy when T == 0, else Gumbel-max sampling of logits / T
+    (reference: layers/sampler.py:5-27 uses the equivalent exponential-race
+    trick argmax(probs / Exp(1)))."""
+    greedy = jnp.argmax(logits, axis=-1)
+    safe_t = jnp.where(temperatures > 0, temperatures, 1.0)[:, None]
+    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    sampled = jnp.argmax(logits.astype(jnp.float32) / safe_t + gumbel, axis=-1)
+    return jnp.where(temperatures > 0, sampled, greedy).astype(jnp.int32)

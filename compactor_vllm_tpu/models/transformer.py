@@ -1,0 +1,336 @@
+"""Functional decoder-only transformer with paged KV cache and fused,
+training-free KV compression.
+
+TPU-native design notes (vs reference models/llama3.py:28-281, qwen3.py:28-272):
+- Parameters are a pytree of arrays *stacked over layers*; the decoder runs as
+  one `lax.scan`, so the program compiles once regardless of depth and XLA
+  pipelines weight prefetch across layers.
+- The paged cache flows through the scan carry and is updated in place
+  (donated buffers); attention kernels index it by a traced layer id, so no
+  per-layer cache slices are materialized.
+- Compression scoring, (token, head) top-k and the compressed store form a
+  dataflow branch that is independent of the attention output (which always
+  uses this step's raw K/V — exact prefill, compressed cache), mirroring the
+  reference's side-stream overlap (models/llama3.py:90-112,
+  layers/attention.py:51-126) in XLA's async scheduling model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from compactor_vllm_tpu.compression.compactor import compactor_scores
+from compactor_vllm_tpu.compression.select import topk_retain_indices
+from compactor_vllm_tpu.compression.snapkv import snapkv_scores
+from compactor_vllm_tpu.config import CompressionMethod
+from compactor_vllm_tpu.kv_cache.state import (
+    KVCacheGeometry,
+    KVCacheState,
+    store_decode,
+    store_prefill_full,
+    store_prefill_topk,
+)
+from compactor_vllm_tpu.layers.ops import (
+    apply_rope,
+    make_inv_freq,
+    rms_norm,
+    rms_norm_fused_add,
+    silu_and_mul,
+)
+from compactor_vllm_tpu.ops.attention_ref import (
+    ref_decode_attention,
+    ref_prefill_attention,
+)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    model_type: str
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    hidden_size: int
+    intermediate_size: int
+    vocab_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: tuple = ()  # frozen (key, value) pairs; empty = none
+    use_qk_norm: bool = False  # Qwen3 per-head q/k RMSNorm (qwen3.py:79-97)
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    # MoE (Qwen3-MoE); num_experts == 0 means dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+
+    @property
+    def q_size(self) -> int:
+        return self.num_q_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def rope_scaling_dict(self) -> dict:
+        return dict(self.rope_scaling)
+
+    @property
+    def sm_scale(self) -> float:
+        return self.head_dim**-0.5
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+
+class PrefillMeta(NamedTuple):
+    """Device-side batch descriptor for a prefill step (replaces the
+    reference's broadcast PackedTensorArguments, utils/arguments.py:43-327)."""
+
+    input_ids: jax.Array  # [Tp] i32
+    positions: jax.Array  # [Tp] i32
+    token_seq_idx: jax.Array  # [Tp] i32
+    token_in_pos: jax.Array  # [Tp] i32
+    token_valid: jax.Array  # [Tp] bool
+    cu_seqlens: jax.Array  # [Bp+1] i32
+    slots: jax.Array  # [Bp] i32
+    seq_valid: jax.Array  # [Bp] bool
+    # Compression (ignored when method is NONE):
+    retain: jax.Array  # [Bp] i32 (token, head) budget
+    protected_first: jax.Array  # [Bp] i32
+    protected_last: jax.Array  # [Bp] i32
+    phi: jax.Array  # [D, sketch]
+
+
+class DecodeMeta(NamedTuple):
+    input_ids: jax.Array  # [Bd] i32
+    positions: jax.Array  # [Bd] i32
+    slots: jax.Array  # [Bd] i32
+    valid: jax.Array  # [Bd] bool
+
+
+@dataclass(frozen=True)
+class CompressionStatic:
+    """Trace-time compression configuration."""
+
+    method: CompressionMethod = CompressionMethod.NONE
+    chunked: bool = True
+    chunk_size: int = 512
+    topk_static: int = 0  # static top-k width (>= max retain in the batch)
+
+
+@dataclass(frozen=True)
+class AttentionImpl:
+    """Pluggable attention backend: the jnp oracle or Pallas kernels."""
+
+    prefill: Callable[..., jax.Array]
+    decode: Callable[..., jax.Array]
+
+
+def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
+    def prefill(geom, cache, layer, q, k, v, meta: PrefillMeta, sm_scale, max_q):
+        return ref_prefill_attention(
+            geom, cache, layer, q, k, v, meta.cu_seqlens, meta.slots,
+            max_q=max_q, max_cache_len=max_cache_len_prefill, sm_scale=sm_scale,
+        )
+
+    def decode(geom, cache, layer, q, meta: DecodeMeta, sm_scale):
+        return ref_decode_attention(
+            geom, cache, layer, q, meta.slots,
+            max_cache_len=max_cache_len_decode, sm_scale=sm_scale,
+        )
+
+    return AttentionImpl(prefill=prefill, decode=decode)
+
+
+# --------------------------------------------------------------------- params
+
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init parameter pytree (layer-stacked) for tests and benchmarks."""
+    ks = jax.random.split(key, 12)
+    L, Hd = spec.num_layers, spec.hidden_size
+    qkv_out = spec.q_size + 2 * spec.kv_size
+    scale = Hd**-0.5
+
+    def init(k, shape, s=scale):
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+    layers = {
+        "input_norm": jnp.ones((L, Hd), dtype),
+        "qkv_proj": init(ks[0], (L, Hd, qkv_out)),
+        "o_proj": init(ks[1], (L, spec.q_size, Hd), s=spec.q_size**-0.5),
+        "post_norm": jnp.ones((L, Hd), dtype),
+    }
+    if spec.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, spec.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, spec.head_dim), dtype)
+    if spec.is_moe:
+        E, I = spec.num_experts, spec.moe_intermediate_size
+        layers["router"] = init(ks[2], (L, Hd, E))
+        layers["gate_up_proj"] = init(ks[3], (L, E, Hd, 2 * I))
+        layers["down_proj"] = init(ks[4], (L, E, I, Hd), s=I**-0.5)
+    else:
+        I = spec.intermediate_size
+        layers["gate_up_proj"] = init(ks[3], (L, Hd, 2 * I))
+        layers["down_proj"] = init(ks[4], (L, I, Hd), s=I**-0.5)
+    params = {
+        "embed": init(ks[5], (spec.vocab_size, Hd), s=1.0),
+        "layers": layers,
+        "final_norm": jnp.ones((Hd,), dtype),
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = init(ks[6], (Hd, spec.vocab_size))
+    return params
+
+
+# -------------------------------------------------------------------- forward
+
+
+def _attention_block(
+    spec: ModelSpec,
+    geom: KVCacheGeometry,
+    lp: dict,
+    layer: jax.Array,
+    cache: KVCacheState,
+    normed: jax.Array,  # [N, hidden]
+    positions: jax.Array,  # [N]
+    *,
+    is_prefill: bool,
+    meta,
+    comp: CompressionStatic,
+    attn: AttentionImpl,
+    max_q: int,
+    inv_freq: jax.Array,
+):
+    N = normed.shape[0]
+    qkv = normed @ lp["qkv_proj"]
+    q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
+    q = q.reshape(N, spec.num_q_heads, spec.head_dim)
+    k = k.reshape(N, spec.num_kv_heads, spec.head_dim)
+    v = v.reshape(N, spec.num_kv_heads, spec.head_dim)
+    if spec.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
+    k_prerope = k
+    q, k = apply_rope(q, k, positions, inv_freq)
+
+    if is_prefill:
+        m: PrefillMeta = meta
+        cached_lens = jnp.zeros(
+            (m.slots.shape[0], spec.num_kv_heads), jnp.int32
+        )  # fresh prefill: every sequence starts with an empty cache
+        if comp.method == CompressionMethod.NONE:
+            cache = store_prefill_full(
+                geom, cache, layer, k, v,
+                m.token_seq_idx, m.token_in_pos, m.token_valid,
+                m.slots, cached_lens,
+                m.cu_seqlens[1:] - m.cu_seqlens[:-1], m.seq_valid,
+            )
+        else:
+            b_pad = m.slots.shape[0]
+            if comp.method == CompressionMethod.COMPACTOR:
+                chunk = comp.chunk_size if comp.chunked else max_q
+                scores = compactor_scores(
+                    q, k_prerope, k, m.phi, m.cu_seqlens,
+                    m.token_seq_idx, m.token_in_pos, m.token_valid,
+                    m.protected_first, m.protected_last,
+                    score_chunk_size=chunk, t_pad=N, b_pad=b_pad,
+                )
+            else:
+                scores = snapkv_scores(
+                    q, k, m.cu_seqlens, m.token_seq_idx, m.token_in_pos,
+                    m.token_valid, m.protected_first, m.protected_last,
+                    max_q=max_q,
+                )
+            idx, valid_k = topk_retain_indices(
+                scores, m.token_seq_idx, m.token_in_pos, m.token_valid,
+                m.retain, num_seqs=b_pad, max_q=max_q, k_static=comp.topk_static,
+            )
+            cache = store_prefill_topk(
+                geom, cache, layer, k, v, idx, valid_k,
+                m.cu_seqlens, m.slots, cached_lens, m.seq_valid,
+            )
+        # Attention output is exact: it attends over this step's raw K/V
+        # regardless of what was stored (reference layers/attention.py:51-126).
+        o = attn.prefill(geom, cache, layer, q, k, v, m, spec.sm_scale, max_q)
+    else:
+        m: DecodeMeta = meta
+        cache = store_decode(geom, cache, layer, k, v, m.slots, m.valid)
+        o = attn.decode(geom, cache, layer, q, m, spec.sm_scale)
+
+    out = o.reshape(N, spec.q_size) @ lp["o_proj"]
+    return cache, out
+
+
+def _mlp_block(spec: ModelSpec, lp: dict, x: jax.Array) -> jax.Array:
+    if spec.is_moe:
+        from compactor_vllm_tpu.layers.moe import moe_block
+
+        return moe_block(spec, lp, x)
+    return silu_and_mul(x @ lp["gate_up_proj"]) @ lp["down_proj"]
+
+
+def forward(
+    params: dict,
+    cache: KVCacheState,
+    meta,
+    *,
+    spec: ModelSpec,
+    geom: KVCacheGeometry,
+    comp: CompressionStatic,
+    attn: AttentionImpl,
+    is_prefill: bool,
+    max_q: int = 0,
+):
+    """Run the full decoder; returns (cache, final hidden states [N, hidden])."""
+    x = params["embed"][meta.input_ids]
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
+    residual = jnp.zeros_like(x)
+
+    def layer_fn(carry, xs):
+        x, residual, cache = carry
+        lp, layer = xs
+        normed, residual = rms_norm_fused_add(
+            x, residual, lp["input_norm"], spec.rms_norm_eps
+        )
+        cache, attn_out = _attention_block(
+            spec, geom, lp, layer, cache, normed, meta.positions,
+            is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
+            max_q=max_q, inv_freq=inv_freq,
+        )
+        normed, residual = rms_norm_fused_add(
+            attn_out, residual, lp["post_norm"], spec.rms_norm_eps
+        )
+        x = _mlp_block(spec, lp, normed)
+        return (x, residual, cache), None
+
+    layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    (x, residual, cache), _ = jax.lax.scan(
+        layer_fn, (x, residual, cache), (params["layers"], layer_ids)
+    )
+    hidden, _ = rms_norm_fused_add(x, residual, params["final_norm"], spec.rms_norm_eps)
+    return cache, hidden
+
+
+def compute_logits(params: dict, spec: ModelSpec, hidden: jax.Array) -> jax.Array:
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    return (hidden @ head).astype(jnp.float32)
+
+
+def prefill_logits(
+    params: dict, spec: ModelSpec, hidden: jax.Array, cu_seqlens: jax.Array
+) -> jax.Array:
+    """Select each sequence's last-token hidden state before projecting
+    (reference: layers/embed_head.py:55-59)."""
+    last = jnp.clip(cu_seqlens[1:] - 1, 0, hidden.shape[0] - 1)
+    return compute_logits(params, spec, hidden[last])

@@ -1,0 +1,175 @@
+"""Engine-level end-to-end tests: continuous batching + greedy parity vs HF,
+and KV compression behavior (exact prefill, reduced cache, page reclaim)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from compactor_vllm_tpu import (
+    BatchCompressionParams,
+    CompressionMethod,
+    LLMConfig,
+    LLMEngine,
+    SamplingParams,
+    Sequence,
+    SequenceCompressionParams,
+)
+from compactor_vllm_tpu.models import spec_from_hf_config
+from compactor_vllm_tpu.utils.weights import load_params
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, torch_dtype=torch.float32,
+    )
+    hf = transformers.AutoModelForCausalLM.from_config(cfg)
+    hf.eval()
+    return cfg, hf
+
+
+def make_engine(tiny_model, **cfg_kw):
+    hf_cfg, hf = tiny_model
+    spec = spec_from_hf_config(hf_cfg)
+    params = load_params(spec, dict(hf.state_dict()), dtype=jnp.float32)
+    defaults = dict(
+        max_num_seqs=2, max_model_len=64, kvcache_page_size=8,
+        num_kv_pages=512, eos=-100, dtype="float32",
+        prefill_token_buckets=(32, 64, 128), decode_batch_buckets=(2,),
+    )
+    defaults.update(cfg_kw)
+    cfg = LLMConfig(**defaults)
+    return LLMEngine(cfg, spec=spec, params=params)
+
+
+def hf_greedy(hf, prompt, n):
+    ids = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = hf.generate(ids, max_new_tokens=n, do_sample=False, pad_token_id=0)
+    return out[0, len(prompt):].tolist()
+
+
+def test_continuous_batching_greedy_parity(tiny_model):
+    _, hf = tiny_model
+    engine = make_engine(tiny_model)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (11, 5, 17, 3, 23)]
+    n_new = 8
+    seqs = [
+        Sequence(p, sampling_params=SamplingParams(temperature=0.0, max_new_tokens=n_new))
+        for p in prompts
+    ]
+    outs = engine.generate_from_sequences(seqs)
+    # 5 sequences, max_num_seqs=2 -> multiple prefill/decode interleavings.
+    for p, o in zip(prompts, outs):
+        assert o.completion_token_ids == hf_greedy(hf, p, n_new)
+    # all slots/pages returned
+    assert engine.runner.alloc.num_free_slots == engine.cfg.max_num_seqs
+    engine.runner.alloc.check_invariants()
+
+
+def test_eos_stops_generation(tiny_model):
+    _, hf = tiny_model
+    engine = make_engine(tiny_model, eos=-100)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 128, size=9).tolist()
+    ref = hf_greedy(hf, prompt, 8)
+    # pick a greedy token as "eos": generation must stop at its 1st occurrence
+    engine.cfg.eos = ref[2]
+    stop = ref.index(ref[2])
+    seqs = [Sequence(prompt, sampling_params=SamplingParams(0.0, 8))]
+    outs = engine.generate_from_sequences(seqs)
+    assert outs[0].completion_token_ids == ref[: stop + 1]
+
+
+@pytest.mark.parametrize("method", [CompressionMethod.COMPACTOR, CompressionMethod.SNAPKV])
+def test_compression_exact_prefill_and_reclaim(tiny_model, method):
+    """Prefill attention is exact (first sampled token matches HF even under
+    compression — SURVEY.md §3.3 key insight) and the compressed cache retains
+    ~ratio of (token, head) pairs with surplus pages reclaimed."""
+    _, hf = tiny_model
+    engine = make_engine(tiny_model)
+    rng = np.random.default_rng(11)
+    L = 48
+    prompt = rng.integers(1, 128, size=L).tolist()
+    cp = SequenceCompressionParams(
+        compression_ratio=0.5, protected_first_tokens=2, protected_last_tokens=4
+    )
+    seq = Sequence(
+        prompt,
+        sampling_params=SamplingParams(temperature=0.0, max_new_tokens=4),
+        compression_params=cp,
+    )
+    bp = BatchCompressionParams(compression_method=method, chunk_size=16)
+    free_before = engine.runner.alloc.min_free_pages()
+
+    # capture retained lens right after the compressed prefill
+    runner = engine.runner
+    orig = runner.run_prefill
+
+    captured = {}
+
+    def capture(seqs_, bp_):
+        out = orig(seqs_, bp_)
+        slot = runner.alloc.slot_of_seq[seqs_[0].seq_id]
+        captured["lens"] = np.asarray(runner.cache.bh_lens[:, slot])
+        return out
+
+    runner.run_prefill = capture
+    outs = engine.generate_from_sequences([seq], batch_compression=bp)
+    runner.run_prefill = orig
+
+    ref = hf_greedy(hf, prompt, 4)
+    assert outs[0].completion_token_ids[0] == ref[0], "compressed prefill must be exact"
+
+    H = engine.spec.num_kv_heads
+    budget = max(round(0.5 * (L - 2 - 4) * H), 1)
+    lens = captured["lens"]  # [L_layers, H]
+    assert (lens.sum(axis=-1) == budget).all(), (lens.sum(axis=-1), budget)
+    # head-sparse: per-head lens need not be uniform, but all <= prompt len
+    assert (lens <= L).all()
+    # pages were reclaimed and everything is eventually freed
+    assert engine.runner.alloc.min_free_pages() == free_before
+    engine.runner.alloc.check_invariants()
+
+
+def test_mixed_compression_ratios_in_one_batch(tiny_model):
+    engine = make_engine(tiny_model, max_num_seqs=4, decode_batch_buckets=(4,))
+    rng = np.random.default_rng(5)
+    seqs = []
+    for ratio in (0.3, 1.0, 0.6, 0.9):
+        seqs.append(
+            Sequence(
+                rng.integers(1, 128, size=40).tolist(),
+                sampling_params=SamplingParams(0.0, 3),
+                compression_params=SequenceCompressionParams(
+                    compression_ratio=ratio,
+                    protected_first_tokens=1,
+                    protected_last_tokens=2,
+                ),
+            )
+        )
+    bp = BatchCompressionParams(
+        compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+    )
+    outs = engine.generate_from_sequences(seqs, batch_compression=bp)
+    for o in outs:
+        assert len(o.completion_token_ids) == 3
+    engine.runner.alloc.check_invariants()
+
+
+def test_sampling_temperature_nonzero(tiny_model):
+    engine = make_engine(tiny_model)
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, 128, size=12).tolist()
+    seqs = [Sequence(prompt, sampling_params=SamplingParams(1.0, 16))]
+    outs = engine.generate_from_sequences(seqs)
+    assert len(outs[0].completion_token_ids) == 16
+    assert all(0 <= t < 128 for t in outs[0].completion_token_ids)

@@ -1,0 +1,177 @@
+"""Token/logit parity of the functional transformer vs HF transformers
+(tiny random-weight models, fp32, CPU) — the reference validates end-to-end
+correctness only via eval harnesses; we add this stronger engine-level check
+(SURVEY.md §4 implication)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from compactor_vllm_tpu.config import CompressionMethod
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
+from compactor_vllm_tpu.kv_cache.state import KVCacheGeometry, init_kv_cache
+from compactor_vllm_tpu.models import spec_from_hf_config
+from compactor_vllm_tpu.models.transformer import (
+    CompressionStatic,
+    DecodeMeta,
+    PrefillMeta,
+    forward,
+    prefill_logits,
+    compute_logits,
+    reference_attention_impl,
+)
+from compactor_vllm_tpu.utils.weights import load_params
+
+
+def tiny_llama_config():
+    return transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype=torch.float32,
+    )
+
+
+def tiny_qwen3_config():
+    return transformers.Qwen3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype=torch.float32,
+    )
+
+
+def build_runtime(spec, num_slots=4, max_len=64):
+    geom = KVCacheGeometry(
+        num_layers=spec.num_layers,
+        num_shards=1,
+        pages_per_shard=256,
+        page_size=8,
+        num_kv_heads=spec.num_kv_heads,
+        head_dim=spec.head_dim,
+        num_slots=num_slots,
+        max_pages_per_head=max_len // 8,
+    )
+    alloc = PageAllocator(
+        num_layers=geom.num_layers, num_shards=1, pages_per_shard=256,
+        num_kv_heads=geom.num_kv_heads, max_pages_per_head=geom.max_pages_per_head,
+        num_slots=num_slots, page_size=8,
+    )
+    cache = init_kv_cache(geom, dtype=jnp.float32)
+    return geom, alloc, cache
+
+
+def run_ours(hf_model, cfg, prompts, n_decode=8):
+    """Prefill + greedy decode through our functional model; returns
+    (prefill_logits [B, V], generated tokens [B, n_decode])."""
+    spec = spec_from_hf_config(cfg)
+    params = load_params(spec, dict(hf_model.state_dict()), dtype=jnp.float32)
+    geom, alloc, cache = build_runtime(spec)
+    attn = reference_attention_impl(
+        max_cache_len_prefill=0,
+        max_cache_len_decode=geom.max_pages_per_head * geom.page_size,
+    )
+    comp = CompressionStatic(method=CompressionMethod.NONE)
+
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    T = sum(lens)
+    cu = np.zeros(B + 1, np.int32)
+    cu[1:] = np.cumsum(lens)
+    seq_idx = np.repeat(np.arange(B), lens).astype(np.int32)
+    in_pos = np.concatenate([np.arange(l) for l in lens]).astype(np.int32)
+    ids = np.concatenate(prompts).astype(np.int32)
+    slots = []
+    for i, l in enumerate(lens):
+        alloc.alloc_slot(i)
+        alloc.reserve(i, l + n_decode)
+        slots.append(alloc.slot_of_seq[i])
+    cache = cache._replace(page_table=jnp.asarray(alloc.page_table))
+    meta = PrefillMeta(
+        input_ids=jnp.asarray(ids),
+        positions=jnp.asarray(in_pos),
+        token_seq_idx=jnp.asarray(seq_idx),
+        token_in_pos=jnp.asarray(in_pos),
+        token_valid=jnp.ones(T, bool),
+        cu_seqlens=jnp.asarray(cu),
+        slots=jnp.asarray(np.array(slots, np.int32)),
+        seq_valid=jnp.ones(B, bool),
+        retain=jnp.zeros(B, jnp.int32),
+        protected_first=jnp.zeros(B, jnp.int32),
+        protected_last=jnp.zeros(B, jnp.int32),
+        phi=jnp.zeros((spec.head_dim, 4), jnp.float32),
+    )
+    cache, hidden = forward(
+        params, cache, meta, spec=spec, geom=geom, comp=comp, attn=attn,
+        is_prefill=True, max_q=max(lens),
+    )
+    logits0 = prefill_logits(params, spec, hidden, meta.cu_seqlens)
+
+    tokens = np.argmax(np.asarray(logits0), axis=-1).astype(np.int32)
+    generated = [tokens]
+    positions = np.array(lens, np.int32)
+    for _ in range(n_decode - 1):
+        dmeta = DecodeMeta(
+            input_ids=jnp.asarray(generated[-1]),
+            positions=jnp.asarray(positions),
+            slots=meta.slots,
+            valid=jnp.ones(B, bool),
+        )
+        cache, hidden = forward(
+            params, cache, dmeta, spec=spec, geom=geom, comp=comp, attn=attn,
+            is_prefill=False,
+        )
+        logits = compute_logits(params, spec, hidden)
+        generated.append(np.argmax(np.asarray(logits), axis=-1).astype(np.int32))
+        positions += 1
+    return np.asarray(logits0), np.stack(generated, axis=1)
+
+
+def run_hf(hf_model, prompts, n_decode=8):
+    outs = []
+    logits0 = []
+    for p in prompts:
+        ids = torch.tensor([p], dtype=torch.long)
+        with torch.no_grad():
+            gen = hf_model.generate(
+                ids, max_new_tokens=n_decode, do_sample=False,
+                pad_token_id=0, use_cache=True,
+            )
+            lg = hf_model(ids).logits[0, -1]
+        outs.append(gen[0, len(p):].numpy())
+        logits0.append(lg.numpy())
+    return np.stack(logits0), np.stack(outs)
+
+
+@pytest.mark.parametrize("make_cfg", [tiny_llama_config, tiny_qwen3_config])
+def test_prefill_logits_and_greedy_decode_parity(make_cfg):
+    torch.manual_seed(0)
+    cfg = make_cfg()
+    hf_model = transformers.AutoModelForCausalLM.from_config(cfg)
+    hf_model.eval()
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (11, 5, 17)]
+
+    ours_logits, ours_tokens = run_ours(hf_model, cfg, prompts)
+    hf_logits, hf_tokens = run_hf(hf_model, prompts)
+
+    np.testing.assert_allclose(ours_logits, hf_logits, atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(ours_tokens, hf_tokens)
