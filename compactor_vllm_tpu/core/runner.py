@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from compactor_vllm_tpu.compression.compactor import make_phi
 from compactor_vllm_tpu.config import (
@@ -33,6 +34,7 @@ from compactor_vllm_tpu.core.scheduler import Scheduler
 from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
 from compactor_vllm_tpu.kv_cache.state import (
     KVCacheGeometry,
+    KVCacheState,
     init_kv_cache,
     kv_cache_hbm_bytes,
 )
@@ -47,6 +49,14 @@ from compactor_vllm_tpu.models.transformer import (
     compute_logits,
     prefill_logits,
     reference_attention_impl,
+)
+from compactor_vllm_tpu.parallel import (
+    AXIS_TP,
+    cache_pspecs,
+    local_spec,
+    make_mesh,
+    param_pspecs,
+    shard_params,
 )
 from compactor_vllm_tpu.utils.sequence import Sequence
 
@@ -80,27 +90,40 @@ class ModelRunner:
         *,
         cache_dtype=jnp.bfloat16,
         attention_impl: AttentionImpl | None = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.spec = spec
-        self.params = params
+        self.tp = cfg.tensor_parallel_size
+        if self.tp > 1 and mesh is None:
+            mesh = make_mesh(tp=self.tp)
+        self.mesh = mesh
+        # Per-device shard of the model (heads/experts/vocab divided by tp).
+        self.lspec = local_spec(spec, self.tp)
         num_pages = cfg.num_kv_pages or self._derive_num_pages(cache_dtype)
+        # Geometry is shard-local: each tp device owns its kv-head shard and
+        # its own page pool (reference analog: each rank's private cache,
+        # core/memory_manager.py:29-31).
         self.geom = KVCacheGeometry(
             num_layers=spec.num_layers,
-            num_shards=1,
-            pages_per_shard=num_pages,
+            num_pages=num_pages,
             page_size=cfg.kvcache_page_size,
-            num_kv_heads=spec.num_kv_heads,
+            num_kv_heads=self.lspec.num_kv_heads,
             head_dim=spec.head_dim,
             num_slots=cfg.max_num_seqs + 1,
             max_pages_per_head=cfg.max_pages_per_head,
         )
-        self.cache = init_kv_cache(self.geom, dtype=cache_dtype)
+        if self.mesh is None:
+            self.cache = init_kv_cache(self.geom, dtype=cache_dtype)
+        else:
+            self.params = params = shard_params(params, spec, self.mesh, self.tp)
+            self.cache = self._init_sharded_cache(cache_dtype)
+        self.params = params
         self.alloc = PageAllocator(
             num_layers=self.geom.num_layers,
-            num_shards=self.geom.num_shards,
-            pages_per_shard=self.geom.pages_per_shard,
-            num_kv_heads=self.geom.num_kv_heads,
+            num_shards=self.tp,
+            pages_per_shard=self.geom.num_pages,
+            num_kv_heads=spec.num_kv_heads,
             max_pages_per_head=self.geom.max_pages_per_head,
             num_slots=self.geom.num_slots,
             page_size=self.geom.page_size,
@@ -114,6 +137,29 @@ class ModelRunner:
         self._fn_cache: dict = {}
         self._base_key = jax.random.PRNGKey(cfg.seed)
         self._step = 0
+
+    def _init_sharded_cache(self, cache_dtype) -> KVCacheState:
+        """Global cache: per-device page pools concatenated on the rows axis,
+        kv heads sharded over tp; allocated directly sharded on the mesh."""
+        geom, S = self.geom, self.tp
+        cspecs = cache_pspecs()
+        shardings = jax.tree.map(lambda s: NamedSharding(self.mesh, s), cspecs,
+                                 is_leaf=lambda x: isinstance(x, P))
+
+        @partial(jax.jit, out_shardings=shardings)
+        def mk():
+            return KVCacheState(
+                k_pages=jnp.zeros((S * geom.total_rows, geom.head_dim), cache_dtype),
+                v_pages=jnp.zeros((S * geom.total_rows, geom.head_dim), cache_dtype),
+                page_table=jnp.zeros(
+                    (geom.num_layers, geom.num_slots,
+                     S * geom.num_kv_heads, geom.max_pages_per_head), jnp.int32),
+                bh_lens=jnp.zeros(
+                    (geom.num_layers, geom.num_slots, S * geom.num_kv_heads),
+                    jnp.int32),
+            )
+
+        return mk()
 
     # -------------------------------------------------------------- geometry
 
@@ -129,8 +175,7 @@ class ModelRunner:
             return 4096  # CPU/test fallback
         probe = KVCacheGeometry(
             num_layers=self.spec.num_layers,
-            num_shards=1,
-            pages_per_shard=1,
+            num_pages=1,
             page_size=self.cfg.kvcache_page_size,
             num_kv_heads=self.spec.num_kv_heads,
             head_dim=self.spec.head_dim,
@@ -156,7 +201,9 @@ class ModelRunner:
     def _comp_static(self, bp: BatchCompressionParams, seqs) -> CompressionStatic:
         if bp.compression_method == CompressionMethod.NONE:
             return CompressionStatic(method=CompressionMethod.NONE)
-        max_retain = max(s.effective_retain_budget(self.spec.num_kv_heads) for s in seqs)
+        max_retain = max(
+            s.effective_retain_budget(self.lspec.num_kv_heads) for s in seqs
+        )
         return CompressionStatic(
             method=bp.compression_method,
             chunked=bp.do_chunked_compression,
@@ -164,39 +211,62 @@ class ModelRunner:
             topk_static=_pow2_bucket(max_retain, 16),
         )
 
+    def _shard_step(self, inner, meta_type):
+        """Wrap a per-device step in shard_map over the (dp, tp) mesh.
+
+        Batch metadata is replicated (dp=1 inside one engine; dp>1 shards
+        would partition the slots axis) and the cache/params pytrees carry
+        their tp shardings; collectives inside `forward` ride the tp axis.
+        """
+        meta_specs = meta_type(*([P()] * len(meta_type._fields)))
+        return jax.shard_map(
+            inner,
+            mesh=self.mesh,
+            in_specs=(param_pspecs(self.spec), cache_pspecs(), meta_specs, P(), P()),
+            out_specs=(cache_pspecs(), P()),
+            check_vma=False,
+        )
+
     def _prefill_fn(self, t_pad: int, b_pad: int, comp: CompressionStatic):
         key = ("prefill", t_pad, b_pad, comp)
         if key not in self._fn_cache:
+            tp_axis = AXIS_TP if self.mesh is not None else None
 
-            @partial(jax.jit, donate_argnums=(1,))
             def step(params, cache, meta: PrefillMeta, temps, rng):
                 cache, hidden = forward(
-                    params, cache, meta, spec=self.spec, geom=self.geom,
+                    params, cache, meta, spec=self.lspec, geom=self.geom,
                     comp=comp, attn=self.attn, is_prefill=True, max_q=t_pad,
+                    tp_axis=tp_axis,
                 )
-                logits = prefill_logits(params, self.spec, hidden, meta.cu_seqlens)
+                logits = prefill_logits(
+                    params, self.lspec, hidden, meta.cu_seqlens, tp_axis
+                )
                 tokens = sample_tokens(logits, temps, rng)
                 return cache, tokens
 
-            self._fn_cache[key] = step
+            if self.mesh is not None:
+                step = self._shard_step(step, PrefillMeta)
+            self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
     def _decode_fn(self, b_pad: int):
         key = ("decode", b_pad)
         if key not in self._fn_cache:
+            tp_axis = AXIS_TP if self.mesh is not None else None
 
-            @partial(jax.jit, donate_argnums=(1,))
             def step(params, cache, meta: DecodeMeta, temps, rng):
                 cache, hidden = forward(
-                    params, cache, meta, spec=self.spec, geom=self.geom,
+                    params, cache, meta, spec=self.lspec, geom=self.geom,
                     comp=CompressionStatic(method=CompressionMethod.NONE),
-                    attn=self.attn, is_prefill=False,
+                    attn=self.attn, is_prefill=False, tp_axis=tp_axis,
                 )
-                logits = compute_logits(params, self.spec, hidden)
+                logits = compute_logits(params, self.lspec, hidden, tp_axis)
                 tokens = sample_tokens(logits, temps, rng)
                 return cache, tokens
 
-            self._fn_cache[key] = step
+            if self.mesh is not None:
+                step = self._shard_step(step, DecodeMeta)
+            self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
     def _next_key(self):
@@ -245,7 +315,7 @@ class ModelRunner:
         temps = np.zeros(b_pad, np.float32)
         for i, s in enumerate(seqs):
             slots[i] = self.alloc.slot_of_seq[s.seq_id]
-            retain[i] = s.effective_retain_budget(self.spec.num_kv_heads)
+            retain[i] = s.effective_retain_budget(self.lspec.num_kv_heads)
             pf[i] = s.compression_params.protected_first_tokens
             pl[i] = s.compression_params.protected_last_tokens
             temps[i] = s.sampling_params.temperature

@@ -2,11 +2,17 @@
 
 Layout
 ------
-Pages are per-(layer, shard) pools of `[page_size, head_dim]` tiles; one page
-holds tokens of a single kv head, enabling head-sparse retained lengths
-(reference layout: kv_cache/page_table.py:93-109). On TPU we keep the pools
-as one array `[L, S, P, page_size, D]` (lane dim = head_dim) plus a trailing
-trash page used as the scatter target for padded lanes.
+Pages are per-layer pools of `[page_size, head_dim]` tiles; one page holds
+tokens of a single kv head, enabling head-sparse retained lengths
+(reference layout: kv_cache/page_table.py:93-109). The pools are flattened to
+one rows array `[L * P * page_size + page_size, D]` (lane dim = head_dim);
+the trailing page is a trash target for padded lanes.
+
+Everything in this module is SHARD-LOCAL: a tensor-parallel device owns
+`num_kv_heads` local heads and its own page pool, and the global cache is the
+concatenation of local pools along the rows axis (sharded over the mesh's
+`tp`/`dp` axes by compactor_vllm_tpu.parallel). Ops therefore run unchanged
+under `shard_map` — no shard arithmetic inside kernels.
 
 Writes are expressed as `jnp` row scatters into the page-flattened cache.
 The reference claims cache slots with `tl.atomic_add` producing a scrambled
@@ -27,7 +33,7 @@ import jax.numpy as jnp
 class KVCacheState(NamedTuple):
     """Pytree carried through jitted steps (donated for in-place updates)."""
 
-    # [L*S*P*page_size + page_size, D]; final page is the trash target.
+    # [L*P*page_size + page_size, D] local rows; final page is the trash target.
     k_pages: jax.Array
     v_pages: jax.Array
     # [L, B, H, max_pages_per_head] shard-local page ids.
@@ -37,9 +43,11 @@ class KVCacheState(NamedTuple):
 
 
 class KVCacheGeometry(NamedTuple):
+    """Shard-local cache geometry: `num_kv_heads` are the heads owned by one
+    device; `num_pages` is its per-layer page pool."""
+
     num_layers: int
-    num_shards: int
-    pages_per_shard: int
+    num_pages: int
     page_size: int
     num_kv_heads: int
     head_dim: int
@@ -47,24 +55,24 @@ class KVCacheGeometry(NamedTuple):
     max_pages_per_head: int
 
     @property
-    def heads_per_shard(self) -> int:
-        return self.num_kv_heads // self.num_shards
-
-    @property
-    def rows_per_shard(self) -> int:
-        return self.pages_per_shard * self.page_size
+    def rows_per_layer(self) -> int:
+        return self.num_pages * self.page_size
 
     @property
     def num_rows(self) -> int:
         """Valid cache rows, excluding the trash page."""
-        return self.num_layers * self.num_shards * self.rows_per_shard
+        return self.num_layers * self.rows_per_layer
+
+    @property
+    def total_rows(self) -> int:
+        """Rows including the trailing trash page."""
+        return self.num_rows + self.page_size
 
 
 def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
-    rows = geom.num_rows + geom.page_size
     return KVCacheState(
-        k_pages=jnp.zeros((rows, geom.head_dim), dtype=dtype),
-        v_pages=jnp.zeros((rows, geom.head_dim), dtype=dtype),
+        k_pages=jnp.zeros((geom.total_rows, geom.head_dim), dtype=dtype),
+        v_pages=jnp.zeros((geom.total_rows, geom.head_dim), dtype=dtype),
         page_table=jnp.zeros(
             (geom.num_layers, geom.num_slots, geom.num_kv_heads, geom.max_pages_per_head),
             jnp.int32,
@@ -77,8 +85,7 @@ def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
 
 def kv_cache_hbm_bytes(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> int:
     itemsize = jnp.dtype(dtype).itemsize
-    rows = geom.num_rows + geom.page_size
-    kv = 2 * rows * geom.head_dim * itemsize
+    kv = 2 * geom.total_rows * geom.head_dim * itemsize
     pt = (
         geom.num_layers
         * geom.num_slots
@@ -107,10 +114,9 @@ def _cache_rows(
     page_col = positions // geom.page_size
     offset = positions % geom.page_size
     page_id = page_table_l[slots, heads, page_col]
-    shard = heads // geom.heads_per_shard
-    base = (layer * geom.num_shards + shard) * geom.rows_per_shard
+    base = layer * geom.rows_per_layer
     rows = base + page_id * geom.page_size + offset
-    trash = geom.num_rows + (positions % geom.page_size)
+    trash = geom.num_rows + offset
     return jnp.where(valid, rows, trash)
 
 

@@ -45,6 +45,11 @@ from compactor_vllm_tpu.ops.attention_ref import (
     ref_decode_attention,
     ref_prefill_attention,
 )
+from compactor_vllm_tpu.parallel.tp import (
+    gather_logits,
+    psum_partial,
+    vocab_parallel_embed,
+)
 
 
 @dataclass(frozen=True)
@@ -209,6 +214,7 @@ def _attention_block(
     attn: AttentionImpl,
     max_q: int,
     inv_freq: jax.Array,
+    tp_axis: str | None,
 ):
     N = normed.shape[0]
     qkv = normed @ lp["qkv_proj"]
@@ -266,16 +272,20 @@ def _attention_block(
         cache = store_decode(geom, cache, layer, k, v, m.slots, m.valid)
         o = attn.decode(geom, cache, layer, q, m, spec.sm_scale)
 
-    out = o.reshape(N, spec.q_size) @ lp["o_proj"]
+    # Row-parallel output projection: partial products reduced over the tp
+    # axis (reference: layers/linear.py:149-153 all_reduce).
+    out = psum_partial(o.reshape(N, spec.q_size) @ lp["o_proj"], tp_axis)
     return cache, out
 
 
-def _mlp_block(spec: ModelSpec, lp: dict, x: jax.Array) -> jax.Array:
+def _mlp_block(spec: ModelSpec, lp: dict, x: jax.Array, tp_axis: str | None) -> jax.Array:
     if spec.is_moe:
         from compactor_vllm_tpu.layers.moe import moe_block
 
-        return moe_block(spec, lp, x)
-    return silu_and_mul(x @ lp["gate_up_proj"]) @ lp["down_proj"]
+        return moe_block(spec, lp, x, tp_axis)
+    return psum_partial(
+        silu_and_mul(x @ lp["gate_up_proj"]) @ lp["down_proj"], tp_axis
+    )
 
 
 def forward(
@@ -289,9 +299,15 @@ def forward(
     attn: AttentionImpl,
     is_prefill: bool,
     max_q: int = 0,
+    tp_axis: str | None = None,
 ):
-    """Run the full decoder; returns (cache, final hidden states [N, hidden])."""
-    x = params["embed"][meta.input_ids]
+    """Run the full decoder; returns (cache, final hidden states [N, hidden]).
+
+    When `tp_axis` is set the function runs SPMD inside a shard_map: `spec`
+    and `geom` describe the per-device shard (local heads/experts/vocab) and
+    collectives over `tp_axis` reduce row-parallel partials.
+    """
+    x = vocab_parallel_embed(params["embed"], meta.input_ids, tp_axis)
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
     residual = jnp.zeros_like(x)
 
@@ -304,12 +320,12 @@ def forward(
         cache, attn_out = _attention_block(
             spec, geom, lp, layer, cache, normed, meta.positions,
             is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
-            max_q=max_q, inv_freq=inv_freq,
+            max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
         )
         normed, residual = rms_norm_fused_add(
             attn_out, residual, lp["post_norm"], spec.rms_norm_eps
         )
-        x = _mlp_block(spec, lp, normed)
+        x = _mlp_block(spec, lp, normed, tp_axis)
         return (x, residual, cache), None
 
     layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
@@ -320,17 +336,22 @@ def forward(
     return cache, hidden
 
 
-def compute_logits(params: dict, spec: ModelSpec, hidden: jax.Array) -> jax.Array:
+def compute_logits(
+    params: dict, spec: ModelSpec, hidden: jax.Array, tp_axis: str | None = None
+) -> jax.Array:
+    """Vocab-(tp-)sharded LM head; full logits on every device so SPMD
+    sampling needs no token broadcast (reference: layers/embed_head.py:55-68)."""
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    return (hidden @ head).astype(jnp.float32)
+    return gather_logits((hidden @ head).astype(jnp.float32), tp_axis)
 
 
 def prefill_logits(
-    params: dict, spec: ModelSpec, hidden: jax.Array, cu_seqlens: jax.Array
+    params: dict, spec: ModelSpec, hidden: jax.Array, cu_seqlens: jax.Array,
+    tp_axis: str | None = None,
 ) -> jax.Array:
     """Select each sequence's last-token hidden state before projecting
     (reference: layers/embed_head.py:55-59)."""
     last = jnp.clip(cu_seqlens[1:] - 1, 0, hidden.shape[0] - 1)
-    return compute_logits(params, spec, hidden[last])
+    return compute_logits(params, spec, hidden[last], tp_axis)

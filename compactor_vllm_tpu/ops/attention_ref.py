@@ -41,8 +41,7 @@ def gather_cache_dense(
     offset = pos % geom.page_size
     heads = jnp.arange(H, dtype=jnp.int32)
     page_id = pt_l[slots[:, None, None], heads[None, :, None], page_col[None, None, :]]
-    shard = heads // geom.heads_per_shard  # [H]
-    base = (layer * geom.num_shards + shard)[None, :, None] * geom.rows_per_shard
+    base = layer * geom.rows_per_layer
     rows = base + page_id * geom.page_size + offset[None, None, :]
     valid = pos[None, None, :] < lens[:, :, None]
     rows = jnp.where(valid, rows, geom.num_rows)  # trash page is zero-initialized

@@ -16,8 +16,7 @@ from compactor_vllm_tpu.ops.attention_ref import (
 
 GEOM = KVCacheGeometry(
     num_layers=1,
-    num_shards=2,
-    pages_per_shard=64,
+    num_pages=128,
     page_size=8,
     num_kv_heads=4,
     head_dim=16,
@@ -40,7 +39,7 @@ def numpy_attention(q, ks, vs, causal_from):
 def build_cache(rng, seq_lens, cache_lens_per_head):
     """cache_lens_per_head: [B, H] ragged cached prefix lengths."""
     alloc = PageAllocator(
-        num_layers=1, num_shards=2, pages_per_shard=64, num_kv_heads=4,
+        num_layers=1, num_shards=1, pages_per_shard=128, num_kv_heads=4,
         max_pages_per_head=8, num_slots=5, page_size=8,
     )
     state = init_kv_cache(GEOM, dtype=jnp.float32)

@@ -14,8 +14,7 @@ from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
 
 GEOM = KVCacheGeometry(
     num_layers=2,
-    num_shards=2,
-    pages_per_shard=32,
+    num_pages=64,
     page_size=8,
     num_kv_heads=4,
     head_dim=16,
@@ -28,8 +27,8 @@ def setup(seq_lens, max_new=0):
     rng = np.random.default_rng(0)
     alloc = PageAllocator(
         num_layers=GEOM.num_layers,
-        num_shards=GEOM.num_shards,
-        pages_per_shard=GEOM.pages_per_shard,
+        num_shards=1,
+        pages_per_shard=GEOM.num_pages,
         num_kv_heads=GEOM.num_kv_heads,
         max_pages_per_head=GEOM.max_pages_per_head,
         num_slots=GEOM.num_slots,

@@ -62,8 +62,7 @@ def tiny_qwen3_config():
 def build_runtime(spec, num_slots=4, max_len=64):
     geom = KVCacheGeometry(
         num_layers=spec.num_layers,
-        num_shards=1,
-        pages_per_shard=256,
+        num_pages=256,
         page_size=8,
         num_kv_heads=spec.num_kv_heads,
         head_dim=spec.head_dim,
@@ -71,7 +70,7 @@ def build_runtime(spec, num_slots=4, max_len=64):
         max_pages_per_head=max_len // 8,
     )
     alloc = PageAllocator(
-        num_layers=geom.num_layers, num_shards=1, pages_per_shard=256,
+        num_layers=geom.num_layers, num_shards=1, pages_per_shard=geom.num_pages,
         num_kv_heads=geom.num_kv_heads, max_pages_per_head=geom.max_pages_per_head,
         num_slots=num_slots, page_size=8,
     )
