@@ -1,0 +1,112 @@
+"""Headline benchmark: RULER-4K-style serving throughput at 50% KV compression.
+
+Mirrors the reference's headline measurement (README.md:40-42, BASELINE.md:
+compactor-vllm 30,349 tok/s on 1x H100, RULER-4K): N requests with ~4K-token
+prompts, short generations, continuous batching, Compactor compression at 50%
+retention. Reports total (prompt + generated) tokens per second.
+
+Runs on the real TPU chip (default platform). Weights are random-init bf16 —
+throughput is weight-value independent. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+BASELINE_TOK_S = 30_349.0  # reference compactor-vllm, 1x H100, RULER-4K
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from compactor_vllm_tpu import (
+        BatchCompressionParams,
+        CompressionMethod,
+        LLMConfig,
+        LLMEngine,
+        SamplingParams,
+        Sequence,
+        SequenceCompressionParams,
+    )
+    from compactor_vllm_tpu.models.transformer import ModelSpec, init_params
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({jax.default_backend()})")
+
+    # Qwen3-1.7B geometry (largest dense config that comfortably fits a 16GB
+    # v5e chip alongside an 8GB KV pool).
+    spec = ModelSpec(
+        model_type="qwen3", num_layers=28, num_q_heads=16, num_kv_heads=8,
+        head_dim=128, hidden_size=2048, intermediate_size=6144,
+        vocab_size=151936, use_qk_norm=True, tie_word_embeddings=True,
+        rope_theta=1000000.0,
+    )
+    prompt_len, new_tokens, n_requests = 4096, 128, 16
+    cfg = LLMConfig(
+        max_num_seqs=16,
+        max_model_len=prompt_len + new_tokens + 64,
+        max_num_batched_tokens=8192,
+        kvcache_page_size=64,
+        num_kv_pages=8704,
+        eos=-1,
+        seed=0,
+        prefill_token_buckets=(8192,),
+        decode_batch_buckets=(16,),
+    )
+    log("initializing params...")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    engine = LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+
+    rng = np.random.default_rng(0)
+
+    def make_seqs():
+        return [
+            Sequence(
+                prompt_token_ids=rng.integers(1, 50_000, size=prompt_len).tolist(),
+                sampling_params=SamplingParams(temperature=0.0, max_new_tokens=new_tokens),
+                compression_params=SequenceCompressionParams(
+                    compression_ratio=0.5,
+                    protected_first_tokens=16,
+                    protected_last_tokens=64,
+                ),
+            )
+            for _ in range(n_requests)
+        ]
+
+    bp = BatchCompressionParams(
+        compression_method=CompressionMethod.COMPACTOR, chunk_size=512
+    )
+
+    log("warmup (compiles prefill + decode programs)...")
+    t0 = time.perf_counter()
+    engine.generate_from_sequences(make_seqs()[:2], bp)
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    log(f"timed run: {n_requests} x ({prompt_len} prompt + {new_tokens} new)...")
+    seqs = make_seqs()
+    t0 = time.perf_counter()
+    outs = engine.generate_from_sequences(seqs, bp)
+    dt = time.perf_counter() - t0
+    total_tokens = sum(s.seq.num_tokens for s in outs)
+    tok_s = total_tokens / dt
+    log(f"{total_tokens} tokens in {dt:.2f}s")
+
+    print(json.dumps({
+        "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

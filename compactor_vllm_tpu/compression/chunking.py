@@ -31,14 +31,14 @@ def static_num_chunks(t_pad: int, b_pad: int, chunk_size: int) -> int:
 
 
 def make_chunk_meta(
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_lens: jax.Array,  # [Bp]
     token_seq_idx: jax.Array,  # [T]
     token_in_pos: jax.Array,  # [T]
     token_valid: jax.Array,  # [T]
     chunk_size: int,
     num_chunks: int,
 ) -> ChunkMeta:
-    lens = cu_seqlens[1:] - cu_seqlens[:-1]  # [Bp]
+    lens = seq_lens
     nchunks = -(-lens // chunk_size)
     base = jnp.concatenate(
         [jnp.zeros(1, lens.dtype), jnp.cumsum(nchunks)[:-1]]

@@ -132,7 +132,7 @@ def compactor_scores(
     k_prerope: jax.Array,  # [T, H, D]
     k_postrope: jax.Array,  # [T, H, D]
     phi: jax.Array,  # [D, s]
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_lens: jax.Array,  # [Bp]
     token_seq_idx: jax.Array,
     token_in_pos: jax.Array,
     token_valid: jax.Array,
@@ -145,13 +145,13 @@ def compactor_scores(
     """Full Compactor scoring pipeline -> [T, H] selection scores."""
     nc_pre = static_num_chunks(t_pad, b_pad, score_chunk_size)
     meta_pre = make_chunk_meta(
-        cu_seqlens, token_seq_idx, token_in_pos, token_valid, score_chunk_size, nc_pre
+        seq_lens, token_seq_idx, token_in_pos, token_valid, score_chunk_size, nc_pre
     )
     pre = approximate_leverage_scores(k_prerope, phi, meta_pre, score_chunk_size)
 
     nc_post = static_num_chunks(t_pad, b_pad, POSTROPE_CHUNK)
     meta_post = make_chunk_meta(
-        cu_seqlens, token_seq_idx, token_in_pos, token_valid, POSTROPE_CHUNK, nc_post
+        seq_lens, token_seq_idx, token_in_pos, token_valid, POSTROPE_CHUNK, nc_post
     )
     post = non_causal_chunk_attention_scores(
         q_postrope,
@@ -159,18 +159,18 @@ def compactor_scores(
         meta_post,
         token_seq_idx,
         token_valid,
-        num_seqs=cu_seqlens.shape[0] - 1,
+        num_seqs=seq_lens.shape[0],
     )
     scores = post + PRE_POST_BLEND * pre
     return apply_protection(
-        scores, cu_seqlens, token_seq_idx, token_in_pos, token_valid,
+        scores, seq_lens, token_seq_idx, token_in_pos, token_valid,
         protected_first, protected_last,
     )
 
 
 def apply_protection(
     scores: jax.Array,  # [T, H]
-    cu_seqlens: jax.Array,
+    seq_lens: jax.Array,  # [Bp]
     token_seq_idx: jax.Array,
     token_in_pos: jax.Array,
     token_valid: jax.Array,
@@ -179,7 +179,7 @@ def apply_protection(
 ) -> jax.Array:
     """Protected head/tail ranges are never evicted (+inf); padding -> -inf
     (reference: compactor.py:591-598)."""
-    lens = cu_seqlens[1:] - cu_seqlens[:-1]
+    lens = seq_lens
     first = protected_first[token_seq_idx]
     last = protected_last[token_seq_idx]
     L = lens[token_seq_idx]

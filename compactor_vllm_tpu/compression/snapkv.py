@@ -23,7 +23,8 @@ KPOOL = 5  # reference: snapkv.py:430
 def snapkv_scores(
     q_postrope: jax.Array,  # [T, HQ, D]
     k_postrope: jax.Array,  # [T, H, D]
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_starts: jax.Array,  # [Bp]
+    seq_lens: jax.Array,  # [Bp]
     token_seq_idx: jax.Array,
     token_in_pos: jax.Array,
     token_valid: jax.Array,
@@ -36,23 +37,23 @@ def snapkv_scores(
     T, HQ, D = q_postrope.shape
     H = k_postrope.shape[1]
     G = HQ // H
-    Bp = cu_seqlens.shape[0] - 1
+    Bp = seq_lens.shape[0]
     sm_scale = 1.0 / (D**0.5)
 
-    lens = cu_seqlens[1:] - cu_seqlens[:-1]  # [Bp]
+    lens = seq_lens
     win = jnp.minimum(jnp.asarray(window, lens.dtype), lens)  # [Bp]
     eff_len = lens - win  # non-window keys per sequence
 
     # Window queries: the last `win[b]` tokens of each sequence, right-aligned
     # into a fixed [Bp, window] block (rows past win[b] are masked out).
     wpos = jnp.arange(window, dtype=jnp.int32)[None, :]  # [1, W]
-    widx = cu_seqlens[1:][:, None] - win[:, None] + wpos  # [Bp, W]
+    widx = (seq_starts + lens)[:, None] - win[:, None] + wpos  # [Bp, W]
     wvalid = wpos < win[:, None]
     widx = jnp.where(wvalid, widx, 0)
     qw = q_postrope[widx]  # [Bp, W, HQ, D]
     qw = qw.reshape(Bp, window, H, G, D)
 
-    kb, kmask = unpack_varlen(k_postrope, cu_seqlens, max_q)  # [Bp, max_q, H, D]
+    kb, kmask = unpack_varlen(k_postrope, seq_starts, seq_lens, max_q)  # [Bp, max_q, H, D]
     kpos = jnp.arange(max_q, dtype=jnp.int32)  # [max_q]
     eff_mask = kmask & (kpos[None, :] < eff_len[:, None])  # non-window keys only
 
@@ -101,6 +102,6 @@ def snapkv_scores(
     # Pack [Bp, H, max_q] back to [T, H].
     packed = scores.transpose(0, 2, 1)[token_seq_idx, token_in_pos]  # [T, H]
     return apply_protection(
-        packed, cu_seqlens, token_seq_idx, token_in_pos, token_valid,
+        packed, seq_lens, token_seq_idx, token_in_pos, token_valid,
         protected_first, protected_last,
     )

@@ -131,8 +131,17 @@ class ModelRunner:
         self.scheduler = Scheduler(cfg, self.alloc)
         self.phi = make_phi(spec.head_dim, cfg.leverage_sketch_size)
         if attention_impl is None:
-            max_cache = self.geom.max_pages_per_head * self.geom.page_size
-            attention_impl = reference_attention_impl(0, max_cache)
+            if cfg.attention_backend == AttentionBackend.PALLAS:
+                from compactor_vllm_tpu.ops.pallas_attention import (
+                    pallas_attention_impl,
+                )
+
+                attention_impl = pallas_attention_impl(
+                    interpret=jax.default_backend() != "tpu"
+                )
+            else:
+                max_cache = self.geom.max_pages_per_head * self.geom.page_size
+                attention_impl = reference_attention_impl(0, max_cache)
         self.attn = attention_impl
         self._fn_cache: dict = {}
         self._base_key = jax.random.PRNGKey(cfg.seed)
@@ -239,7 +248,8 @@ class ModelRunner:
                     tp_axis=tp_axis,
                 )
                 logits = prefill_logits(
-                    params, self.lspec, hidden, meta.cu_seqlens, tp_axis
+                    params, self.lspec, hidden, meta.seq_starts, meta.seq_lens,
+                    tp_axis,
                 )
                 tokens = sample_tokens(logits, temps, rng)
                 return cache, tokens
@@ -290,20 +300,29 @@ class ModelRunner:
     def run_prefill(self, seqs: list[Sequence], bp: BatchCompressionParams) -> np.ndarray:
         B = len(seqs)
         lens = [s.num_prompt_tokens for s in seqs]
-        T = sum(lens)
-        t_pad = _bucket(T, self.cfg.prefill_token_buckets)
+        # Pack sequences at 8-token-aligned starts (Pallas DMA tiling
+        # contract, ops/pallas_attention.py) — at most 7 padding rows/seq.
+        starts = np.zeros(B, np.int32)
+        off = 0
+        for i, L in enumerate(lens):
+            starts[i] = off
+            off = cdiv(off + L, 8) * 8
+        t_pad = _bucket(off, self.cfg.prefill_token_buckets)
+        # Tile-aligned slack past the last token (TOKEN_SLACK contract).
+        t_pad = cdiv(t_pad, 256) * 256 + 256
         b_pad = _bucket(B, self.cfg.decode_batch_buckets)
         comp = self._comp_static(bp, seqs)
 
-        cu = np.zeros(b_pad + 1, np.int32)
-        cu[1 : B + 1] = np.cumsum(lens)
-        cu[B + 1 :] = cu[B]
+        starts_pad = np.full(b_pad, off, np.int32)
+        starts_pad[:B] = starts
+        lens_pad = np.zeros(b_pad, np.int32)
+        lens_pad[:B] = lens
         ids = np.zeros(t_pad, np.int32)
         seq_idx = np.zeros(t_pad, np.int32)
         in_pos = np.zeros(t_pad, np.int32)
         valid = np.zeros(t_pad, bool)
         for i, s in enumerate(seqs):
-            sl = slice(cu[i], cu[i + 1])
+            sl = slice(starts[i], starts[i] + lens[i])
             ids[sl] = s.prompt_token_ids
             seq_idx[sl] = i
             in_pos[sl] = np.arange(lens[i])
@@ -327,7 +346,8 @@ class ModelRunner:
             token_seq_idx=jnp.asarray(seq_idx),
             token_in_pos=jnp.asarray(in_pos),
             token_valid=jnp.asarray(valid),
-            cu_seqlens=jnp.asarray(cu),
+            seq_starts=jnp.asarray(starts_pad),
+            seq_lens=jnp.asarray(lens_pad),
             slots=jnp.asarray(slots),
             seq_valid=jnp.asarray(seq_valid),
             retain=jnp.asarray(retain),

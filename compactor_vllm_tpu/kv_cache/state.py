@@ -167,7 +167,7 @@ def store_prefill_topk(
     v_new: jax.Array,
     topk_idx: jax.Array,  # [Bp, K] flat (token_in_seq * H + head) per sequence
     topk_valid: jax.Array,  # [Bp, K] bool (k < retain_budget[b])
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_starts: jax.Array,  # [Bp] packed row offset per sequence
     slots: jax.Array,  # [Bp]
     cached_lens: jax.Array,  # [Bp, H]
     seq_valid: jax.Array,  # [Bp]
@@ -209,8 +209,8 @@ def store_prefill_topk(
         geom, layer, pt_l, slots[seq_idx], head, pos, valid
     ).reshape(Bp * K)
 
-    # Gather the selected new K/V rows (packed index = cu_seqlens[b] + token).
-    src = (cu_seqlens[:-1][:, None] + tok_in_seq) * H + head  # [Bp, K]
+    # Gather the selected new K/V rows (packed index = seq_starts[b] + token).
+    src = (seq_starts[:, None] + tok_in_seq) * H + head  # [Bp, K]
     src = jnp.where(valid, src, 0).reshape(Bp * K)
     k_sel = k_new.reshape(T * H, D)[src]
     v_sel = v_new.reshape(T * H, D)[src]

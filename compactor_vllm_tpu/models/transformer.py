@@ -104,7 +104,11 @@ class PrefillMeta(NamedTuple):
     token_seq_idx: jax.Array  # [Tp] i32
     token_in_pos: jax.Array  # [Tp] i32
     token_valid: jax.Array  # [Tp] bool
-    cu_seqlens: jax.Array  # [Bp+1] i32
+    # Packed layout: sequence b occupies rows [seq_starts[b], +seq_lens[b]).
+    # Starts are 8-token aligned (Pallas DMA tiling contract) so the packing
+    # may have small gaps — which plain cu_seqlens could not express.
+    seq_starts: jax.Array  # [Bp] i32
+    seq_lens: jax.Array  # [Bp] i32
     slots: jax.Array  # [Bp] i32
     seq_valid: jax.Array  # [Bp] bool
     # Compression (ignored when method is NONE):
@@ -142,8 +146,9 @@ class AttentionImpl:
 def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
     def prefill(geom, cache, layer, q, k, v, meta: PrefillMeta, sm_scale, max_q):
         return ref_prefill_attention(
-            geom, cache, layer, q, k, v, meta.cu_seqlens, meta.slots,
-            max_q=max_q, max_cache_len=max_cache_len_prefill, sm_scale=sm_scale,
+            geom, cache, layer, q, k, v, meta.seq_starts, meta.seq_lens,
+            meta.slots, max_q=max_q, max_cache_len=max_cache_len_prefill,
+            sm_scale=sm_scale,
         )
 
     def decode(geom, cache, layer, q, meta: DecodeMeta, sm_scale):
@@ -237,24 +242,23 @@ def _attention_block(
             cache = store_prefill_full(
                 geom, cache, layer, k, v,
                 m.token_seq_idx, m.token_in_pos, m.token_valid,
-                m.slots, cached_lens,
-                m.cu_seqlens[1:] - m.cu_seqlens[:-1], m.seq_valid,
+                m.slots, cached_lens, m.seq_lens, m.seq_valid,
             )
         else:
             b_pad = m.slots.shape[0]
             if comp.method == CompressionMethod.COMPACTOR:
                 chunk = comp.chunk_size if comp.chunked else max_q
                 scores = compactor_scores(
-                    q, k_prerope, k, m.phi, m.cu_seqlens,
+                    q, k_prerope, k, m.phi, m.seq_lens,
                     m.token_seq_idx, m.token_in_pos, m.token_valid,
                     m.protected_first, m.protected_last,
                     score_chunk_size=chunk, t_pad=N, b_pad=b_pad,
                 )
             else:
                 scores = snapkv_scores(
-                    q, k, m.cu_seqlens, m.token_seq_idx, m.token_in_pos,
-                    m.token_valid, m.protected_first, m.protected_last,
-                    max_q=max_q,
+                    q, k, m.seq_starts, m.seq_lens, m.token_seq_idx,
+                    m.token_in_pos, m.token_valid, m.protected_first,
+                    m.protected_last, max_q=max_q,
                 )
             idx, valid_k = topk_retain_indices(
                 scores, m.token_seq_idx, m.token_in_pos, m.token_valid,
@@ -262,7 +266,7 @@ def _attention_block(
             )
             cache = store_prefill_topk(
                 geom, cache, layer, k, v, idx, valid_k,
-                m.cu_seqlens, m.slots, cached_lens, m.seq_valid,
+                m.seq_starts, m.slots, cached_lens, m.seq_valid,
             )
         # Attention output is exact: it attends over this step's raw K/V
         # regardless of what was stored (reference layers/attention.py:51-126).
@@ -348,10 +352,10 @@ def compute_logits(
 
 
 def prefill_logits(
-    params: dict, spec: ModelSpec, hidden: jax.Array, cu_seqlens: jax.Array,
-    tp_axis: str | None = None,
+    params: dict, spec: ModelSpec, hidden: jax.Array, seq_starts: jax.Array,
+    seq_lens: jax.Array, tp_axis: str | None = None,
 ) -> jax.Array:
     """Select each sequence's last-token hidden state before projecting
     (reference: layers/embed_head.py:55-59)."""
-    last = jnp.clip(cu_seqlens[1:] - 1, 0, hidden.shape[0] - 1)
+    last = jnp.clip(seq_starts + seq_lens - 1, 0, hidden.shape[0] - 1)
     return compute_logits(params, spec, hidden[last], tp_axis)

@@ -52,32 +52,34 @@ def gather_cache_dense(
 
 def unpack_varlen(
     x: jax.Array,  # [T, H, D] packed
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_starts: jax.Array,  # [Bp] packed row offset per sequence
+    seq_lens: jax.Array,  # [Bp]
     max_q: int,
 ):
-    """Unpack packed-varlen rows into [Bp, max_q, H, D] plus a validity mask."""
-    Bp = cu_seqlens.shape[0] - 1
+    """Unpack packed-varlen rows into [Bp, max_q, H, D] plus a validity mask.
+
+    Sequence b occupies packed rows [seq_starts[b], seq_starts[b] + seq_lens[b]);
+    starts may be tile-aligned with gaps between sequences (the Pallas-kernel
+    packing contract), which dense `cu_seqlens` could not express.
+    """
     qpos = jnp.arange(max_q, dtype=jnp.int32)[None, :]  # [1, max_q]
-    starts = cu_seqlens[:-1][:, None]
-    lens = (cu_seqlens[1:] - cu_seqlens[:-1])[:, None]
-    idx = starts + qpos  # [Bp, max_q]
-    mask = qpos < lens
+    idx = seq_starts[:, None] + qpos  # [Bp, max_q]
+    mask = qpos < seq_lens[:, None]
     idx = jnp.where(mask, idx, 0)
     return x[idx], mask  # [Bp, max_q, H, D], [Bp, max_q]
 
 
 def pack_varlen(
     x: jax.Array,  # [Bp, max_q, H, D]
-    cu_seqlens: jax.Array,
+    seq_starts: jax.Array,
+    seq_lens: jax.Array,
     total: int,
 ):
     """Inverse of unpack_varlen: scatter rows back into packed layout."""
     Bp, max_q = x.shape[0], x.shape[1]
     qpos = jnp.arange(max_q, dtype=jnp.int32)[None, :]
-    starts = cu_seqlens[:-1][:, None]
-    lens = (cu_seqlens[1:] - cu_seqlens[:-1])[:, None]
-    idx = starts + qpos
-    idx = jnp.where(qpos < lens, idx, total)  # OOB rows dropped
+    idx = seq_starts[:, None] + qpos
+    idx = jnp.where(qpos < seq_lens[:, None], idx, total)  # OOB rows dropped
     out = jnp.zeros((total,) + x.shape[2:], x.dtype)
     return out.at[idx.reshape(-1)].set(
         x.reshape((Bp * max_q,) + x.shape[2:]), mode="drop"
@@ -135,7 +137,8 @@ def ref_prefill_attention(
     q: jax.Array,  # [T, HQ, D] packed varlen
     k_new: jax.Array,  # [T, H, D]
     v_new: jax.Array,
-    cu_seqlens: jax.Array,  # [Bp+1]
+    seq_starts: jax.Array,  # [Bp]
+    seq_lens: jax.Array,  # [Bp]
     slots: jax.Array,  # [Bp]
     max_q: int,
     max_cache_len: int,
@@ -151,11 +154,11 @@ def ref_prefill_attention(
         k_c = jnp.zeros((Bp, H, 0, D), k_new.dtype)
         v_c = jnp.zeros((Bp, H, 0, D), v_new.dtype)
         lens = jnp.zeros((Bp, H), jnp.int32)
-    qb, q_mask = unpack_varlen(q, cu_seqlens, max_q)
-    kb, _ = unpack_varlen(k_new, cu_seqlens, max_q)
-    vb, _ = unpack_varlen(v_new, cu_seqlens, max_q)
+    qb, q_mask = unpack_varlen(q, seq_starts, seq_lens, max_q)
+    kb, _ = unpack_varlen(k_new, seq_starts, seq_lens, max_q)
+    vb, _ = unpack_varlen(v_new, seq_starts, seq_lens, max_q)
     ob = _mixed_attention(qb, k_c, v_c, lens, kb, vb, q_mask, sm_scale)
-    return pack_varlen(ob, cu_seqlens, T)
+    return pack_varlen(ob, seq_starts, seq_lens, T)
 
 
 def ref_decode_attention(

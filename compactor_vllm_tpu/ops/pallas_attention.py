@@ -1,0 +1,507 @@
+"""Pallas TPU attention kernels over the paged, head-sparse KV cache.
+
+TPU-native re-design of the reference Triton kernels:
+
+- `paged_prefill_attention` <- `causal_sparse_varlen_with_cache`
+  (reference: attention/sparse_varlen_kernel.py:11-519): packed varlen
+  queries attend causally over [per-head ragged paged cache prefix ‖ this
+  step's packed new K/V]. GQA is handled by flattening (token-tile x group)
+  query rows into one MXU matmul operand, the exact trick the reference uses
+  (sparse_varlen_kernel.py:315-352). Phase 1 walks logical pages through the
+  page table with double-buffered HBM->VMEM DMA; phase 2 streams the new-token
+  tiles with an on-band causal mask. Online softmax runs in the exp2 domain
+  (matching sparse_varlen_kernel.py's exp2 math).
+- `paged_decode_attention` <- `head_sparse_decode_attention`
+  (reference: attention/sparse_decode_kernel.py:10-435): one query token per
+  (slot, kv-head), page walk with double-buffered DMA. The reference's
+  split-KV stages exist to fill idle GPU SMs; a TPU core executes the grid
+  sequentially, so the analog is megacore partitioning via
+  `dimension_semantics` rather than an LSE-merge stage.
+
+Layout: the wrappers transpose packed activations into HEAD-MAJOR layouts
+(q: [H, T*G, D] with row t*G+g, k/v: [H, T, D]) so that every in-kernel DMA
+slices only leading (untiled) dims — Mosaic requires VMEM-view slices on the
+sublane dim to be 8-aligned, which per-group head slices of a token-major
+array are not. Page tables and per-(b,h) lengths arrive in SMEM via
+`PrefetchScalarGridSpec` so page-indexed DMA addresses are known before the
+body runs (the pattern of jax-ml's TPU paged attention).
+
+Grid-order contract (prefill): query tiles are addressed relative to each
+sequence's `cu_seqlens` start, so a sequence's last tile may overhang into
+the next sequence's rows; the grid iterates sequences in ascending order and
+every sequence rewrites its own rows, so overhang writes are always
+overwritten — except past the final sequence, which is why callers must leave
+`TOKEN_SLACK` padded rows at the end of the packed arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+NEG_INF = -1.0e30
+# Padded rows callers must leave after the last packed token (>= max token
+# tile) so tile DMAs never run out of bounds.
+TOKEN_SLACK = 256
+
+
+def _row_tile(group: int) -> int:
+    """Query-token tile so that (tokens x group) rows fill MXU sublanes."""
+    return max(16, 128 // group)
+
+
+# ----------------------------------------------------------------- prefill
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    starts_ref,  # [Bp] i32 packed row offset per sequence (8-aligned)
+    lens_ref,  # [Bp] i32 true sequence lengths
+    clen_ref,  # [Bp, H] i32 cached (pre-store) lengths
+    pt_ref,  # [Bp, H, maxp] i32 page ids
+    base_ref,  # [1] i32 row offset of this layer's pool
+    # tensor inputs (HBM)
+    q_hbm,  # [H, Tpad*G, D] head-major, row = token*G + group
+    kn_hbm,  # [H, Tpad, D]
+    vn_hbm,  # [H, Tpad, D]
+    kp_hbm,  # [rows, D]
+    vp_hbm,  # [rows, D]
+    # output
+    o_hbm,  # [H, Tpad*G, D]
+    # scratch
+    q_buf,  # [R, D]
+    o_buf,  # [R, D]
+    kc_buf,  # [2, page, D]
+    vc_buf,  # [2, page, D]
+    kn_buf,  # [2, TN, D]
+    vn_buf,  # [2, TN, D]
+    acc_ref,  # [R, D] f32
+    m_ref,  # [R, 1] f32
+    l_ref,  # [R, 1] f32
+    sems,  # DMA sems [9]
+    *,
+    sm_scale: float,
+    page_size: int,
+    tile_m: int,
+    tile_n: int,
+    group: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    m = pl.program_id(2)
+    TM, TN, G = tile_m, tile_n, group
+    R = TM * G
+
+    seq_start = starts_ref[b]
+    seq_len = lens_ref[b]
+    q0 = m * TM  # first query token of this tile, sequence-relative
+
+    @pl.when(q0 < seq_len)
+    def _run():
+        clen = clen_ref[b, h]
+        base = base_ref[0]
+        # seq_start is 8-aligned and TM*G is a multiple of 128, so row0 is
+        # tile-aligned — the hint lets Mosaic prove the DMA slice is legal.
+        row0 = pl.multiple_of((seq_start + q0) * G, 8)
+
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[h, pl.ds(row0, R), :], q_buf, sems.at[0]
+        )
+        q_dma.start()
+
+        scale = sm_scale * LOG2E
+        num_pages = pl.cdiv(clen, page_size)
+        n_end = pl.cdiv(jnp.minimum(q0 + TM, seq_len), TN)
+
+        def kc_dma(slot, i):
+            row = pl.multiple_of(base + pt_ref[b, h, i] * page_size, page_size)
+            return (
+                pltpu.make_async_copy(
+                    kp_hbm.at[pl.ds(row, page_size), :], kc_buf.at[slot], sems.at[1 + slot]
+                ),
+                pltpu.make_async_copy(
+                    vp_hbm.at[pl.ds(row, page_size), :], vc_buf.at[slot], sems.at[3 + slot]
+                ),
+            )
+
+        def kn_dma(slot, n):
+            row = pl.multiple_of(seq_start + n * TN, 8)
+            return (
+                pltpu.make_async_copy(
+                    kn_hbm.at[h, pl.ds(row, TN), :], kn_buf.at[slot], sems.at[5 + slot]
+                ),
+                pltpu.make_async_copy(
+                    vn_hbm.at[h, pl.ds(row, TN), :], vn_buf.at[slot], sems.at[7 + slot]
+                ),
+            )
+
+        @pl.when(num_pages > 0)
+        def _():
+            k0, v0 = kc_dma(0, 0)
+            k0.start()
+            v0.start()
+
+        @pl.when(num_pages == 0)
+        def _():
+            k0, v0 = kn_dma(0, 0)
+            k0.start()
+            v0.start()
+
+        q_dma.wait()
+        q = q_buf[...]
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+        def flash_update(s, v_tile):
+            """s: [R, Tk] exp2-domain logits (already masked), v: [Tk, D]."""
+            m_prev = m_ref[...]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m_prev - m_new)
+            l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[...] = acc_ref[...] * corr + jax.lax.dot(
+                p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
+            )
+            m_ref[...] = m_new
+
+        # ---- phase 1: cached pages (all keys precede all new tokens).
+        def page_body(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < num_pages)
+            def _():
+                kd, vd = kc_dma(nxt, i + 1)
+                kd.start()
+                vd.start()
+
+            @pl.when(jnp.logical_and(i + 1 >= num_pages, n_end > 0))
+            def _():
+                kd, vd = kn_dma(nxt, 0)
+                kd.start()
+                vd.start()
+
+            kd, vd = kc_dma(slot, i)
+            kd.wait()
+            vd.wait()
+            k = kc_buf[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            kpos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (R, page_size), 1
+            )
+            s = jnp.where(kpos < clen, s, NEG_INF)
+            # Zero masked V rows: a masked probability is 0, but 0 * NaN from
+            # stale rows would still poison the accumulator.
+            vrow = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (page_size, 1), 0
+            )
+            v_tile = jnp.where(vrow < clen, vc_buf[slot], 0)
+            flash_update(s, v_tile)
+            return 0
+
+        jax.lax.fori_loop(0, num_pages, page_body, 0)
+
+        # ---- phase 2: this step's packed new K/V, causal on the band.
+        def new_body(n, _):
+            # Continue the double-buffer parity from phase 1.
+            slot = jax.lax.rem(num_pages + n, 2)
+            nxt = jax.lax.rem(num_pages + n + 1, 2)
+
+            @pl.when(n + 1 < n_end)
+            def _():
+                kd, vd = kn_dma(nxt, n + 1)
+                kd.start()
+                vd.start()
+
+            kd, vd = kn_dma(slot, n)
+            kd.wait()
+            vd.wait()
+            k = kn_buf[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R, TN), 0)
+            qpos = q0 + rows // G
+            kpos = n * TN + jax.lax.broadcasted_iota(jnp.int32, (R, TN), 1)
+            mask = (kpos <= qpos) & (kpos < seq_len)
+            s = jnp.where(mask, s, NEG_INF)
+            # Zero V rows past the sequence: padded packed rows can hold NaN
+            # (unwritten output rows of the previous layer), and 0 * NaN = NaN.
+            vrow = n * TN + jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+            v_tile = jnp.where(vrow < seq_len, vn_buf[slot], 0)
+            flash_update(s, v_tile)
+            return 0
+
+        jax.lax.fori_loop(0, n_end, new_body, 0)
+
+        l = l_ref[...]
+        out = acc_ref[...] / jnp.where(l > 0, l, 1.0)
+        o_buf[...] = out.astype(o_buf.dtype)
+        o_dma = pltpu.make_async_copy(
+            o_buf, o_hbm.at[h, pl.ds(row0, R), :], sems.at[0]
+        )
+        o_dma.start()
+        o_dma.wait()
+
+
+def paged_prefill_attention(
+    q: jax.Array,  # [Tpad, HQ, D] packed varlen (Tpad >= packed end + TOKEN_SLACK)
+    k_new: jax.Array,  # [Tpad, H, D]
+    v_new: jax.Array,
+    k_pages: jax.Array,  # [rows, D]
+    v_pages: jax.Array,
+    page_table: jax.Array,  # [Bp, H, maxp] i32 (layer slice, slot-gathered)
+    cached_lens: jax.Array,  # [Bp, H] i32 pre-store snapshot
+    seq_starts: jax.Array,  # [Bp] i32, 8-token-aligned packed offsets
+    seq_lens: jax.Array,  # [Bp] i32
+    row_base: jax.Array,  # [] or [1] i32: layer * rows_per_layer
+    *,
+    sm_scale: float,
+    page_size: int,
+    max_q: int,
+    interpret: bool = False,
+) -> jax.Array:
+    T, HQ, D = q.shape
+    H = k_new.shape[1]
+    G = HQ // H
+    Bp = seq_starts.shape[0]
+    TM = _row_tile(G)
+    TN = 128
+    assert T % TM == 0 and max_q % TM == 0
+    grid = (Bp, H, pl.cdiv(max_q, TM))
+
+    # Head-major layouts so in-kernel DMA slices hit only untiled dims.
+    q_hm = q.reshape(T, H, G, D).transpose(1, 0, 2, 3).reshape(H, T * G, D)
+    kn_hm = k_new.transpose(1, 0, 2)
+    vn_hm = v_new.transpose(1, 0, 2)
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        tile_m=TM,
+        tile_n=TN,
+        group=G,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((TM * G, D), q.dtype),
+            pltpu.VMEM((TM * G, D), q.dtype),
+            pltpu.VMEM((2, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, page_size, D), v_pages.dtype),
+            pltpu.VMEM((2, TN, D), k_new.dtype),
+            pltpu.VMEM((2, TN, D), v_new.dtype),
+            pltpu.VMEM((TM * G, D), jnp.float32),
+            pltpu.VMEM((TM * G, 1), jnp.float32),
+            pltpu.VMEM((TM * G, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    o_hm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, T * G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        seq_starts.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        cached_lens.astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        jnp.asarray(row_base, jnp.int32).reshape(1),
+        q_hm, kn_hm, vn_hm, k_pages, v_pages,
+    )
+    return o_hm.reshape(H, T, G, D).transpose(1, 0, 2, 3).reshape(T, HQ, D)
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _decode_kernel(
+    lens_ref,  # [Bd, H] i32 (post-append lengths)
+    pt_ref,  # [Bd, H, maxp] i32
+    base_ref,  # [1] i32
+    q_ref,  # [H, Bd, G, D] VMEM
+    kp_hbm,
+    vp_hbm,
+    o_ref,  # [H, Bd, G, D] VMEM
+    k_buf,  # [2, page, D]
+    v_buf,  # [2, page, D]
+    sems,  # [4]
+    *,
+    sm_scale: float,
+    page_size: int,
+    group: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    G = group
+    D = q_ref.shape[-1]
+    base = base_ref[0]
+    length = lens_ref[b, h]
+    num_pages = pl.cdiv(length, page_size)
+    scale = sm_scale * LOG2E
+
+    o_ref[h, b] = jnp.zeros((G, D), o_ref.dtype)
+
+    @pl.when(num_pages > 0)
+    def _run():
+        q = q_ref[h, b]  # [G, D]
+
+        def dma(slot, i):
+            row = pl.multiple_of(base + pt_ref[b, h, i] * page_size, page_size)
+            return (
+                pltpu.make_async_copy(
+                    kp_hbm.at[pl.ds(row, page_size), :], k_buf.at[slot], sems.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    vp_hbm.at[pl.ds(row, page_size), :], v_buf.at[slot], sems.at[2 + slot]
+                ),
+            )
+
+        kd, vd = dma(0, 0)
+        kd.start()
+        vd.start()
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < num_pages)
+            def _():
+                kd, vd = dma(nxt, i + 1)
+                kd.start()
+                vd.start()
+
+            kd, vd = dma(slot, i)
+            kd.wait()
+            vd.wait()
+            k = k_buf[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [G, page]
+            kpos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (G, page_size), 1
+            )
+            s = jnp.where(kpos < length, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m_prev - m_new)
+            l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot(
+                p.astype(v_buf.dtype), v_buf[slot], preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((G, 1), jnp.float32)
+        acc0 = jnp.zeros((G, D), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+        out = acc / jnp.where(l > 0, l, 1.0)
+        o_ref[h, b] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [Bd, HQ, D]
+    k_pages: jax.Array,  # [rows, D]
+    v_pages: jax.Array,
+    page_table: jax.Array,  # [Bd, H, maxp]
+    lens: jax.Array,  # [Bd, H] post-append lengths
+    row_base: jax.Array,
+    *,
+    sm_scale: float,
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    Bd, HQ, D = q.shape
+    H = page_table.shape[1]
+    G = HQ // H
+    q_hm = q.reshape(Bd, H, G, D).transpose(1, 0, 2, 3)  # [H, Bd, G, D]
+    kernel = functools.partial(
+        _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Bd, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    o_hm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, Bd, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lens.astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        jnp.asarray(row_base, jnp.int32).reshape(1),
+        q_hm, k_pages, v_pages,
+    )
+    return o_hm.transpose(1, 0, 2, 3).reshape(Bd, HQ, D)
+
+
+# --------------------------------------------------------------- engine glue
+
+
+def pallas_attention_impl(interpret: bool = False):
+    """AttentionImpl backed by the Pallas kernels (AttentionBackend.PALLAS).
+
+    Engine prefills are always fresh sequences (no prefix caching yet), so the
+    cached-length snapshot is zero and phase 1 is skipped dynamically — the
+    same call shape the reference uses (layers/attention.py:45-52 snapshots
+    pre-store lens; the engine's are always zero at prefill).
+    """
+    from compactor_vllm_tpu.models.transformer import AttentionImpl
+
+    def prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
+        pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
+        pt = pt_l[meta.slots]  # [Bp, H, maxp]
+        clens = jnp.zeros((meta.slots.shape[0], geom.num_kv_heads), jnp.int32)
+        return paged_prefill_attention(
+            q, k, v, cache.k_pages, cache.v_pages, pt, clens,
+            meta.seq_starts, meta.seq_lens,
+            layer * geom.rows_per_layer,
+            sm_scale=sm_scale, page_size=geom.page_size, max_q=max_q,
+            interpret=interpret,
+        )
+
+    def decode(geom, cache, layer, q, meta, sm_scale):
+        pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
+        lens_l = jax.lax.dynamic_index_in_dim(cache.bh_lens, layer, 0, keepdims=False)
+        return paged_decode_attention(
+            q, cache.k_pages, cache.v_pages, pt_l[meta.slots], lens_l[meta.slots],
+            layer * geom.rows_per_layer,
+            sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
+        )
+
+    return AttentionImpl(prefill=prefill, decode=decode)

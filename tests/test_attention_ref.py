@@ -95,8 +95,8 @@ def test_prefill_matches_numpy_with_ragged_cache():
 
     out = ref_prefill_attention(
         GEOM, state, 0, jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(cu), jnp.asarray(slots), max_q=9, max_cache_len=8,
-        sm_scale=1.0 / np.sqrt(D),
+        jnp.asarray(cu[:-1]), jnp.asarray(np.diff(cu)), jnp.asarray(slots),
+        max_q=9, max_cache_len=8, sm_scale=1.0 / np.sqrt(D),
     )
     out = np.asarray(out)
     for b, L in enumerate(seq_lens):

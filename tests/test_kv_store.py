@@ -160,7 +160,7 @@ def test_store_topk_multiset():
 
     state = store_prefill_topk(
         GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
-        jnp.asarray(idx), jnp.asarray(valid_k), jnp.asarray(cu),
+        jnp.asarray(idx), jnp.asarray(valid_k), jnp.asarray(cu[:-1]),
         jnp.asarray(slots), jnp.zeros((2, H), jnp.int32), jnp.ones(2, bool),
     )
     kd, vd, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
@@ -185,7 +185,7 @@ def test_store_topk_invalid_seq_untouched():
     idx = np.tile(np.arange(8, dtype=np.int64)[None], (2, 1))
     state = store_prefill_topk(
         GEOM, state, 0, jnp.asarray(k), jnp.asarray(k),
-        jnp.asarray(idx), jnp.ones((2, 8), bool), jnp.asarray(cu),
+        jnp.asarray(idx), jnp.ones((2, 8), bool), jnp.asarray(cu[:-1]),
         jnp.asarray(slots), jnp.zeros((2, H), jnp.int32),
         jnp.asarray([True, False]),
     )

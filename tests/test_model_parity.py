@@ -110,7 +110,8 @@ def run_ours(hf_model, cfg, prompts, n_decode=8):
         token_seq_idx=jnp.asarray(seq_idx),
         token_in_pos=jnp.asarray(in_pos),
         token_valid=jnp.ones(T, bool),
-        cu_seqlens=jnp.asarray(cu),
+        seq_starts=jnp.asarray(cu[:-1]),
+        seq_lens=jnp.asarray(np.diff(cu).astype(np.int32)),
         slots=jnp.asarray(np.array(slots, np.int32)),
         seq_valid=jnp.ones(B, bool),
         retain=jnp.zeros(B, jnp.int32),
@@ -122,7 +123,7 @@ def run_ours(hf_model, cfg, prompts, n_decode=8):
         params, cache, meta, spec=spec, geom=geom, comp=comp, attn=attn,
         is_prefill=True, max_q=max(lens),
     )
-    logits0 = prefill_logits(params, spec, hidden, meta.cu_seqlens)
+    logits0 = prefill_logits(params, spec, hidden, meta.seq_starts, meta.seq_lens)
 
     tokens = np.argmax(np.asarray(logits0), axis=-1).astype(np.int32)
     generated = [tokens]

@@ -1,0 +1,176 @@
+"""Pallas kernels vs the jnp paged-attention oracle (interpret mode on CPU).
+
+Mirrors the reference kernel-test strategy (tests/test_triton_attention.py:
+mock paged cache, dense oracle, atol 3e-3) including the edge cases: empty
+cache, single appended token, ragged per-head cache lengths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
+from compactor_vllm_tpu.kv_cache.state import (
+    KVCacheGeometry,
+    init_kv_cache,
+    store_decode,
+    store_prefill_full,
+)
+from compactor_vllm_tpu.ops.attention_ref import (
+    ref_decode_attention,
+    ref_prefill_attention,
+)
+from compactor_vllm_tpu.ops.pallas_attention import (
+    _row_tile,
+    paged_decode_attention,
+    paged_prefill_attention,
+)
+
+PAGE = 8
+GEOM = KVCacheGeometry(
+    num_layers=1,
+    num_pages=128,
+    page_size=PAGE,
+    num_kv_heads=4,
+    head_dim=128,
+    num_slots=5,
+    max_pages_per_head=16,
+)
+
+
+def build_cache(rng, seq_lens, cache_lens_per_head, max_new=8):
+    alloc = PageAllocator(
+        num_layers=1, num_shards=1, pages_per_shard=GEOM.num_pages,
+        num_kv_heads=GEOM.num_kv_heads, max_pages_per_head=GEOM.max_pages_per_head,
+        num_slots=GEOM.num_slots, page_size=PAGE,
+    )
+    state = init_kv_cache(GEOM, dtype=jnp.float32)
+    B = len(seq_lens)
+    slots = []
+    for i in range(B):
+        alloc.alloc_slot(i)
+        alloc.reserve(i, int(cache_lens_per_head[i].max()) + seq_lens[i] + max_new)
+        slots.append(alloc.slot_of_seq[i])
+    state = state._replace(page_table=jnp.asarray(alloc.page_table))
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    max_c = int(cache_lens_per_head.max())
+    kc = rng.normal(size=(B, H, max(max_c, 1), D)).astype(np.float32)
+    vc = rng.normal(size=(B, H, max(max_c, 1), D)).astype(np.float32)
+    if max_c > 0:
+        for b in range(B):
+            for pos in range(max_c):
+                state = store_prefill_full(
+                    GEOM, state, 0,
+                    jnp.asarray(kc[b : b + 1, :, pos, :]),
+                    jnp.asarray(vc[b : b + 1, :, pos, :]),
+                    jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+                    jnp.ones(1, bool), jnp.asarray([slots[b]], jnp.int32),
+                    jnp.full((1, H), pos, jnp.int32), jnp.ones(1, jnp.int32),
+                    jnp.ones(1, bool),
+                )
+        lens = np.zeros((1, GEOM.num_slots, H), np.int32)
+        for b in range(B):
+            lens[0, slots[b]] = cache_lens_per_head[b]
+        state = state._replace(bh_lens=jnp.asarray(lens))
+    return state, np.array(slots, np.int32)
+
+
+def packed(rng, seq_lens, HQ, tile):
+    starts = np.zeros(len(seq_lens), np.int32)
+    off = 0
+    for i, L in enumerate(seq_lens):
+        starts[i] = off
+        off = -(-(off + L) // 8) * 8  # aligned packing contract
+    Tp = (-(-(off + tile) // tile)) * tile
+    H, D = GEOM.num_kv_heads, GEOM.head_dim
+    q = rng.normal(size=(Tp, HQ, D)).astype(np.float32)
+    kn = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    vn = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    return Tp, starts, np.array(seq_lens, np.int32), q, kn, vn
+
+
+@pytest.mark.parametrize(
+    "seq_lens,cache_desc,HQ",
+    [
+        ([17, 33], "ragged", 8),   # GQA G=2, ragged per-head cache
+        ([9, 5], "zero", 8),       # empty cache (engine prefill path)
+        ([1, 1], "ragged", 4),     # single appended token, MHA
+        ([64], "full", 16),        # G=4, page-aligned cache
+    ],
+)
+def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
+    rng = np.random.default_rng(0)
+    B, H = len(seq_lens), GEOM.num_kv_heads
+    if cache_desc == "zero":
+        cache_lens = np.zeros((B, H), np.int32)
+    elif cache_desc == "full":
+        cache_lens = np.full((B, H), 16, np.int32)
+    else:
+        cache_lens = rng.integers(0, 14, size=(B, H)).astype(np.int32)
+    state, slots = build_cache(rng, seq_lens, cache_lens)
+    G = HQ // H
+    TM = _row_tile(G)
+    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, HQ, max(TM, 128))
+    max_q = (-(-max(seq_lens) // TM)) * TM
+    sm = 1.0 / np.sqrt(GEOM.head_dim)
+
+    pt = np.asarray(state.page_table)[0][slots]  # [B, H, maxp]
+    got = paged_prefill_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        jnp.asarray(starts), jnp.asarray(lens), 0,
+        sm_scale=sm, page_size=PAGE, max_q=max_q, interpret=True,
+    )
+    want = ref_prefill_attention(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(slots),
+        max_q=max(seq_lens),
+        max_cache_len=int(cache_lens.max()) if cache_lens.max() else 0,
+        sm_scale=sm,
+    )
+    got, want = np.asarray(got), np.asarray(want)
+    for b, L in enumerate(seq_lens):
+        sl = slice(starts[b], starts[b] + L)
+        np.testing.assert_allclose(got[sl], want[sl], atol=3e-3, rtol=1e-6)
+
+
+@pytest.mark.parametrize("HQ", [4, 8, 16])
+def test_decode_kernel_vs_oracle(HQ):
+    rng = np.random.default_rng(1)
+    B, H, D = 3, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = rng.integers(1, 30, size=(B, H)).astype(np.int32)
+    state, slots = build_cache(rng, [1] * B, cache_lens)
+    q = rng.normal(size=(B, HQ, D)).astype(np.float32)
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+    got = paged_decode_attention(
+        jnp.asarray(q), state.k_pages, state.v_pages,
+        jnp.asarray(pt), jnp.asarray(lens), 0,
+        sm_scale=sm, page_size=PAGE, interpret=True,
+    )
+    want = ref_decode_attention(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(slots),
+        max_cache_len=int(cache_lens.max()), sm_scale=sm,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3, rtol=1e-6)
+
+
+def test_decode_kernel_zero_len_slot_is_zero():
+    rng = np.random.default_rng(2)
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = np.array([[4, 4, 4, 4], [0, 0, 0, 0]], np.int32)
+    state, slots = build_cache(rng, [1, 1], cache_lens)
+    q = rng.normal(size=(B, 8, D)).astype(np.float32)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+    got = np.asarray(
+        paged_decode_attention(
+            jnp.asarray(q), state.k_pages, state.v_pages,
+            jnp.asarray(pt), jnp.asarray(lens), 0,
+            sm_scale=1.0, page_size=PAGE, interpret=True,
+        )
+    )
+    assert np.isfinite(got[0]).all() and np.abs(got[0]).sum() > 0
+    np.testing.assert_array_equal(got[1], 0.0)
