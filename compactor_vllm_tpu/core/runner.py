@@ -309,7 +309,9 @@ class ModelRunner:
             off = cdiv(off + L, 8) * 8
         t_pad = _bucket(off, self.cfg.prefill_token_buckets)
         # Tile-aligned slack past the last token (TOKEN_SLACK contract).
-        t_pad = cdiv(t_pad, 256) * 256 + 256
+        from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
+
+        t_pad = cdiv(t_pad, 256) * 256 + TOKEN_SLACK
         b_pad = _bucket(B, self.cfg.decode_batch_buckets)
         comp = self._comp_static(bp, seqs)
 

@@ -45,14 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 LOG2E = 1.4426950408889634
 NEG_INF = -1.0e30
-# Padded rows callers must leave after the last packed token (>= max token
-# tile) so tile DMAs never run out of bounds.
-TOKEN_SLACK = 256
+# Padded rows callers must leave after the last packed token (>= the key
+# tile TN) so tile DMAs never run out of bounds.
+TOKEN_SLACK = 512
 
 
 def _row_tile(group: int) -> int:
-    """Query-token tile so that (tokens x group) rows fill MXU sublanes."""
-    return max(16, 128 // group)
+    """Query-token tile: (tokens x group) rows = 256 fills two MXU passes and
+    halves the key-loop trip count vs 128-row tiles."""
+    return max(16, 256 // group)
 
 
 # ----------------------------------------------------------------- prefill
@@ -276,7 +277,7 @@ def paged_prefill_attention(
     G = HQ // H
     Bp = seq_starts.shape[0]
     TM = _row_tile(G)
-    TN = 128
+    TN = 512  # big key tiles amortize loop/DMA overhead over MXU work
     assert T % TM == 0 and max_q % TM == 0
     grid = (Bp, H, pl.cdiv(max_q, TM))
 
@@ -333,6 +334,9 @@ def paged_prefill_attention(
 # ------------------------------------------------------------------ decode
 
 
+DECODE_GROUP = 4  # pages fetched + reduced per flash step
+
+
 def _decode_kernel(
     lens_ref,  # [Bd, H] i32 (post-append lengths)
     pt_ref,  # [Bd, H, maxp] i32
@@ -341,9 +345,9 @@ def _decode_kernel(
     kp_hbm,
     vp_hbm,
     o_ref,  # [H, Bd, G, D] VMEM
-    k_buf,  # [2, page, D]
-    v_buf,  # [2, page, D]
-    sems,  # [4]
+    k_buf,  # [2, GROUP*page, D]
+    v_buf,  # [2, GROUP*page, D]
+    sems,  # DMA [2, GROUP, 2]
     *,
     sm_scale: float,
     page_size: int,
@@ -351,11 +355,12 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
-    G = group
+    G, GP = group, DECODE_GROUP
     D = q_ref.shape[-1]
     base = base_ref[0]
     length = lens_ref[b, h]
     num_pages = pl.cdiv(length, page_size)
+    num_groups = pl.cdiv(num_pages, GP)
     scale = sm_scale * LOG2E
 
     o_ref[h, b] = jnp.zeros((G, D), o_ref.dtype)
@@ -364,41 +369,58 @@ def _decode_kernel(
     def _run():
         q = q_ref[h, b]  # [G, D]
 
-        def dma(slot, i):
-            row = pl.multiple_of(base + pt_ref[b, h, i] * page_size, page_size)
+        def page_dma(slot, i, j):
+            """Fetch page (g*GP + j) into lane j of ring slot `slot`."""
+            row = pl.multiple_of(
+                base + pt_ref[b, h, i * GP + j] * page_size, page_size
+            )
             return (
                 pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, page_size), :], k_buf.at[slot], sems.at[slot]
+                    kp_hbm.at[pl.ds(row, page_size), :],
+                    k_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                    sems.at[slot, j, 0],
                 ),
                 pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, page_size), :], v_buf.at[slot], sems.at[2 + slot]
+                    vp_hbm.at[pl.ds(row, page_size), :],
+                    v_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                    sems.at[slot, j, 1],
                 ),
             )
 
-        kd, vd = dma(0, 0)
-        kd.start()
-        vd.start()
+        def start_group(slot, i):
+            for j in range(GP):
+                @pl.when(i * GP + j < num_pages)
+                def _():
+                    kd, vd = page_dma(slot, i, j)
+                    kd.start()
+                    vd.start()
+
+        def wait_group(slot, i):
+            for j in range(GP):
+                @pl.when(i * GP + j < num_pages)
+                def _():
+                    kd, vd = page_dma(slot, i, j)
+                    kd.wait()
+                    vd.wait()
+
+        start_group(0, 0)
 
         def body(i, carry):
             m_prev, l_prev, acc = carry
             slot = jax.lax.rem(i, 2)
             nxt = jax.lax.rem(i + 1, 2)
 
-            @pl.when(i + 1 < num_pages)
+            @pl.when(i + 1 < num_groups)
             def _():
-                kd, vd = dma(nxt, i + 1)
-                kd.start()
-                vd.start()
+                start_group(nxt, i + 1)
 
-            kd, vd = dma(slot, i)
-            kd.wait()
-            vd.wait()
-            k = k_buf[slot]
+            wait_group(slot, i)
+            k = k_buf[slot]  # [GP*page, D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # [G, page]
-            kpos = i * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, (G, page_size), 1
+            ) * scale  # [G, GP*page]
+            kpos = i * GP * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (G, GP * page_size), 1
             )
             s = jnp.where(kpos < length, s, NEG_INF)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -406,15 +428,21 @@ def _decode_kernel(
             p = jnp.exp2(s - m_new)
             corr = jnp.exp2(m_prev - m_new)
             l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+            # Zero un-fetched V lanes: their probability is 0, but the buffer
+            # may hold NaN garbage before its first DMA, and 0 * NaN = NaN.
+            vrow = i * GP * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (GP * page_size, 1), 0
+            )
+            v_tile = jnp.where(vrow < length, v_buf[slot], 0)
             acc = acc * corr + jax.lax.dot(
-                p.astype(v_buf.dtype), v_buf[slot], preferred_element_type=jnp.float32
+                p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
             )
             return m_new, l_new, acc
 
         m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((G, 1), jnp.float32)
         acc0 = jnp.zeros((G, D), jnp.float32)
-        _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+        _, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
         out = acc / jnp.where(l > 0, l, 1.0)
         o_ref[h, b] = out.astype(o_ref.dtype)
 
@@ -448,9 +476,9 @@ def paged_decode_attention(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, page_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, DECODE_GROUP * page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, DECODE_GROUP * page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, DECODE_GROUP, 2)),
         ],
     )
     o_hm = pl.pallas_call(

@@ -22,6 +22,7 @@ from compactor_vllm_tpu.ops.attention_ref import (
     ref_prefill_attention,
 )
 from compactor_vllm_tpu.ops.pallas_attention import (
+    TOKEN_SLACK,
     _row_tile,
     paged_decode_attention,
     paged_prefill_attention,
@@ -111,7 +112,7 @@ def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
     state, slots = build_cache(rng, seq_lens, cache_lens)
     G = HQ // H
     TM = _row_tile(G)
-    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, HQ, max(TM, 128))
+    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, HQ, max(TM, TOKEN_SLACK))
     max_q = (-(-max(seq_lens) // TM)) * TM
     sm = 1.0 / np.sqrt(GEOM.head_dim)
 
