@@ -137,6 +137,10 @@ class LLMConfig:
     # prefill sizes; batch buckets bound padded decode batch sizes.
     prefill_token_buckets: tuple[int, ...] = ()
     decode_batch_buckets: tuple[int, ...] = ()
+    # Decode iterations fused into one compiled dispatch with in-device
+    # termination masking (the reference's CUDA-graph decode loop analog,
+    # core/model_runner.py:391-491).
+    decode_loop_steps: int = 8
 
     def __post_init__(self):
         assert self.max_num_seqs >= 1

@@ -279,6 +279,57 @@ class ModelRunner:
             self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
+    def _decode_loop_fn(self, b_pad: int, n_steps: int):
+        """n_steps decode iterations in ONE compiled program with in-device
+        termination masking — the TPU analog of the reference's CUDA-graph
+        decode loop (core/model_runner.py:391-491): finished lanes stop
+        sampling/storing but stay in the batch until the host re-packs.
+        Amortizes the dispatch round-trip and per-step host work."""
+        key = ("decode_loop", b_pad, n_steps)
+        if key not in self._fn_cache:
+            tp_axis = AXIS_TP if self.mesh is not None else None
+
+            def loop(params, cache, meta: DecodeMeta, temps, remaining, eos, rng):
+                def step(carry, i):
+                    cache, ids, positions, remaining, alive = carry
+                    dmeta = DecodeMeta(
+                        input_ids=ids, positions=positions,
+                        slots=meta.slots, valid=alive,
+                    )
+                    cache, hidden = forward(
+                        params, cache, dmeta, spec=self.lspec, geom=self.geom,
+                        comp=CompressionStatic(method=CompressionMethod.NONE),
+                        attn=self.attn, is_prefill=False, tp_axis=tp_axis,
+                    )
+                    logits = compute_logits(params, self.lspec, hidden, tp_axis)
+                    tokens = sample_tokens(
+                        logits, temps, jax.random.fold_in(rng, i)
+                    )
+                    tokens = jnp.where(alive, tokens, -1)
+                    remaining = remaining - alive.astype(jnp.int32)
+                    alive = alive & (tokens != eos) & (remaining > 0)
+                    return (cache, tokens, positions + 1, remaining, alive), tokens
+
+                (cache, *_), toks = jax.lax.scan(
+                    step,
+                    (cache, meta.input_ids, meta.positions, remaining, meta.valid),
+                    jnp.arange(n_steps, dtype=jnp.int32),
+                )
+                return cache, toks  # [n_steps, b_pad]
+
+            if self.mesh is not None:
+                meta_specs = DecodeMeta(*([P()] * len(DecodeMeta._fields)))
+                loop = jax.shard_map(
+                    loop,
+                    mesh=self.mesh,
+                    in_specs=(param_pspecs(self.spec), cache_pspecs(),
+                              meta_specs, P(), P(), P(), P()),
+                    out_specs=(cache_pspecs(), P()),
+                    check_vma=False,
+                )
+            self._fn_cache[key] = jax.jit(loop, donate_argnums=(1,))
+        return self._fn_cache[key]
+
     def _next_key(self):
         self._step += 1
         return jax.random.fold_in(self._base_key, self._step)
@@ -372,7 +423,7 @@ class ModelRunner:
             headroom = s.sampling_params.max_new_tokens
             self.alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
 
-    def run_decode_step(self, seqs: list[Sequence]) -> np.ndarray:
+    def _decode_meta(self, seqs: list[Sequence]):
         B = len(seqs)
         b_pad = _bucket(B, self.cfg.decode_batch_buckets)
         ids = np.zeros(b_pad, np.int32)
@@ -391,11 +442,30 @@ class ModelRunner:
             slots=jnp.asarray(slots),
             valid=jnp.asarray(valid),
         )
+        return b_pad, meta, jnp.asarray(temps)
+
+    def run_decode_step(self, seqs: list[Sequence]) -> np.ndarray:
+        B = len(seqs)
+        b_pad, meta, temps = self._decode_meta(seqs)
         fn = self._decode_fn(b_pad)
-        self.cache, tokens = fn(
-            self.params, self.cache, meta, jnp.asarray(temps), self._next_key()
-        )
+        self.cache, tokens = fn(self.params, self.cache, meta, temps, self._next_key())
         return np.asarray(tokens)[:B]
+
+    def run_decode_loop(self, seqs: list[Sequence], n_steps: int) -> np.ndarray:
+        """Run up to n_steps decode iterations in one dispatch; returns the
+        sampled tokens [n_steps, B] (-1 marks post-termination lanes)."""
+        B = len(seqs)
+        b_pad, meta, temps = self._decode_meta(seqs)
+        remaining = np.ones(b_pad, np.int32)
+        for i, s in enumerate(seqs):
+            remaining[i] = s.sampling_params.max_new_tokens - s.num_completion_tokens
+        fn = self._decode_loop_fn(b_pad, n_steps)
+        self.cache, tokens = fn(
+            self.params, self.cache, meta, temps,
+            jnp.asarray(remaining), jnp.asarray(self.cfg.eos, jnp.int32),
+            self._next_key(),
+        )
+        return np.asarray(tokens)[:, :B]
 
     # ------------------------------------------------------------- main loop
 
@@ -443,11 +513,24 @@ class ModelRunner:
 
             refill_at = int(DECODE_OCCUPANCY * max(len(active), 1))
             while active:
-                tokens = self.run_decode_step(active)
+                chunk = min(
+                    self.cfg.decode_loop_steps,
+                    max(max(s.sampling_params.max_new_tokens
+                            - s.num_completion_tokens for s in active), 1),
+                )
+                tokens = self.run_decode_loop(active, chunk)
                 still = []
-                for s, t in zip(active, tokens):
-                    s.append_token(int(t))
-                    if is_done(s, int(t)):
+                for i, s in enumerate(active):
+                    done = False
+                    for k in range(chunk):
+                        t = int(tokens[k, i])
+                        if t == -1:
+                            break
+                        s.append_token(t)
+                        if is_done(s, t):
+                            done = True
+                            break
+                    if done:
                         self.scheduler.finish(s)
                     else:
                         still.append(s)

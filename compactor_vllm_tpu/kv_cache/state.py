@@ -224,6 +224,43 @@ def store_prefill_topk(
     return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
 
 
+def store_decode_all_layers(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    k_new: jax.Array,  # [L, Bd, H, D] one token per (layer, slot, head)
+    v_new: jax.Array,
+    slots: jax.Array,  # [Bd]
+    valid: jax.Array,  # [Bd] bool
+) -> KVCacheState:
+    """Append one decoded token to every layer's cache in a single scatter.
+
+    Decode attention merges the step's own K/V in-register (self-key), so the
+    store is deferred out of the layer scan and batched: one scatter of
+    L*Bd*H rows instead of L scatters (each XLA scatter carries fixed cost).
+    """
+    L, Bd, H, D = k_new.shape
+    layers = jnp.arange(L, dtype=jnp.int32)[:, None, None]  # [L, 1, 1]
+    heads = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    cur = state.bh_lens[:, slots]  # [L, Bd, H] per-layer lengths differ
+    pt = state.page_table[:, slots]  # [L, Bd, H, maxp]
+    page_col = cur // geom.page_size
+    page_id = jnp.take_along_axis(pt, page_col[..., None], axis=3)[..., 0]
+    rows = layers * geom.rows_per_layer + page_id * geom.page_size + (
+        cur % geom.page_size
+    )
+    trash = geom.num_rows + (cur % geom.page_size)
+    rows = jnp.where(valid[None, :, None], rows, trash).reshape(-1)
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(-1, D))
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(-1, D))
+    new_lens = cur + valid[None, :, None].astype(cur.dtype)
+    B = state.bh_lens.shape[1]
+    safe_slots = jnp.where(valid, slots, B)
+    bh_lens = state.bh_lens.at[:, safe_slots].set(
+        jnp.where(valid[None, :, None], new_lens, 0), mode="drop"
+    )
+    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+
+
 def store_decode(
     geom: KVCacheGeometry,
     state: KVCacheState,

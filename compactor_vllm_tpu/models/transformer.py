@@ -30,7 +30,7 @@ from compactor_vllm_tpu.config import CompressionMethod
 from compactor_vllm_tpu.kv_cache.state import (
     KVCacheGeometry,
     KVCacheState,
-    store_decode,
+    store_decode_all_layers,
     store_prefill_full,
     store_prefill_topk,
 )
@@ -151,10 +151,11 @@ def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: i
             sm_scale=sm_scale,
         )
 
-    def decode(geom, cache, layer, q, meta: DecodeMeta, sm_scale):
+    def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale):
         return ref_decode_attention(
             geom, cache, layer, q, meta.slots,
             max_cache_len=max_cache_len_decode, sm_scale=sm_scale,
+            k_new=k_new, v_new=v_new,
         )
 
     return AttentionImpl(prefill=prefill, decode=decode)
@@ -271,15 +272,22 @@ def _attention_block(
         # Attention output is exact: it attends over this step's raw K/V
         # regardless of what was stored (reference layers/attention.py:51-126).
         o = attn.prefill(geom, cache, layer, q, k, v, m, spec.sm_scale, max_q)
+        kv_out = None
     else:
+        # Decode: the step's K/V is merged in-register (self-key) and the
+        # cache append is deferred out of the layer scan — one batched
+        # scatter for all layers (store_decode_all_layers) replaces L
+        # per-layer scatters (reference appends in-kernel per layer,
+        # kv_cache/store_kv_cache.py:374-466; XLA scatters carry a fixed
+        # cost that would serialize the scan).
         m: DecodeMeta = meta
-        cache = store_decode(geom, cache, layer, k, v, m.slots, m.valid)
-        o = attn.decode(geom, cache, layer, q, m, spec.sm_scale)
+        o = attn.decode(geom, cache, layer, q, k, v, m, spec.sm_scale)
+        kv_out = (k, v)
 
     # Row-parallel output projection: partial products reduced over the tp
     # axis (reference: layers/linear.py:149-153 all_reduce).
     out = psum_partial(o.reshape(N, spec.q_size) @ lp["o_proj"], tp_axis)
-    return cache, out
+    return cache, out, kv_out
 
 
 def _mlp_block(spec: ModelSpec, lp: dict, x: jax.Array, tp_axis: str | None) -> jax.Array:
@@ -321,7 +329,7 @@ def forward(
         normed, residual = rms_norm_fused_add(
             x, residual, lp["input_norm"], spec.rms_norm_eps
         )
-        cache, attn_out = _attention_block(
+        cache, attn_out, kv = _attention_block(
             spec, geom, lp, layer, cache, normed, meta.positions,
             is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
             max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
@@ -330,12 +338,17 @@ def forward(
             attn_out, residual, lp["post_norm"], spec.rms_norm_eps
         )
         x = _mlp_block(spec, lp, normed, tp_axis)
-        return (x, residual, cache), None
+        return (x, residual, cache), kv
 
     layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
-    (x, residual, cache), _ = jax.lax.scan(
+    (x, residual, cache), kv_all = jax.lax.scan(
         layer_fn, (x, residual, cache), (params["layers"], layer_ids)
     )
+    if not is_prefill:
+        k_all, v_all = kv_all  # [L, Bd, H, D]
+        cache = store_decode_all_layers(
+            geom, cache, k_all, v_all, meta.slots, meta.valid
+        )
     hidden, _ = rms_norm_fused_add(x, residual, params["final_norm"], spec.rms_norm_eps)
     return cache, hidden
 

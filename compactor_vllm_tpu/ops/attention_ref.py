@@ -169,8 +169,12 @@ def ref_decode_attention(
     slots: jax.Array,  # [Bd]
     max_cache_len: int,
     sm_scale: float,
+    k_new: jax.Array | None = None,  # [Bd, H, D] this step's key (self)
+    v_new: jax.Array | None = None,
 ) -> jax.Array:
-    """Oracle decode attention over the (already appended) per-head cache."""
+    """Oracle decode attention over the cached per-head prefix plus (when
+    given) the step's own K/V merged in-register — the cache append is
+    deferred and batched (see store_decode_all_layers)."""
     Bd, HQ, D = q.shape
     k_c, v_c, lens = gather_cache_dense(geom, state, layer, slots, max_cache_len)
     H = k_c.shape[1]
@@ -179,6 +183,13 @@ def ref_decode_attention(
     s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_c.astype(jnp.float32)) * sm_scale
     mask = jnp.arange(max_cache_len)[None, None, :] < lens[:, :, None]
     s = jnp.where(mask[:, :, None, :], s, NEG_INF)
+    v_all = v_c.astype(jnp.float32)
+    if k_new is not None:
+        s_self = jnp.einsum(
+            "bhgd,bhd->bhg", qf, k_new.astype(jnp.float32)
+        )[..., None] * sm_scale
+        s = jnp.concatenate([s, s_self], axis=-1)
+        v_all = jnp.concatenate([v_all, v_new.astype(jnp.float32)[:, :, None]], axis=2)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_c.astype(jnp.float32))
+    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_all)
     return o.reshape(Bd, HQ, D).astype(q.dtype)

@@ -338,10 +338,12 @@ DECODE_GROUP = 4  # pages fetched + reduced per flash step
 
 
 def _decode_kernel(
-    lens_ref,  # [Bd, H] i32 (post-append lengths)
+    lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
     base_ref,  # [1] i32
     q_ref,  # [H, Bd, G, D] VMEM
+    kn_ref,  # [H, Bd, 1, D] VMEM — this step's key (merged in-register)
+    vn_ref,  # [H, Bd, 1, D] VMEM
     kp_hbm,
     vp_hbm,
     o_ref,  # [H, Bd, G, D] VMEM
@@ -363,10 +365,7 @@ def _decode_kernel(
     num_groups = pl.cdiv(num_pages, GP)
     scale = sm_scale * LOG2E
 
-    o_ref[h, b] = jnp.zeros((G, D), o_ref.dtype)
-
-    @pl.when(num_pages > 0)
-    def _run():
+    if True:
         q = q_ref[h, b]  # [G, D]
 
         def page_dma(slot, i, j):
@@ -442,17 +441,35 @@ def _decode_kernel(
         m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((G, 1), jnp.float32)
         acc0 = jnp.zeros((G, D), jnp.float32)
-        _, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+        m_f, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+
+        # Merge the step's own (query-position) key/value — the cache append
+        # is deferred and batched outside the layer scan.
+        k_self = kn_ref[h, b]  # [1, D]
+        v_self = vn_ref[h, b]
+        # VPU mul+reduce (a [G,1] matvec trips a Mosaic broadcast bug on MXU).
+        s_self = jnp.sum(
+            q.astype(jnp.float32) * k_self.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        ) * scale  # [G, 1]
+        m_new = jnp.maximum(m_f, s_self)
+        corr = jnp.exp2(m_f - m_new)
+        p_self = jnp.exp2(s_self - m_new)
+        l = l * corr + p_self
+        acc = acc * corr + p_self * v_self.astype(jnp.float32)
+
         out = acc / jnp.where(l > 0, l, 1.0)
         o_ref[h, b] = out.astype(o_ref.dtype)
 
 
 def paged_decode_attention(
     q: jax.Array,  # [Bd, HQ, D]
+    k_new: jax.Array,  # [Bd, H, D] this step's key (self, not yet in cache)
+    v_new: jax.Array,
     k_pages: jax.Array,  # [rows, D]
     v_pages: jax.Array,
     page_table: jax.Array,  # [Bd, H, maxp]
-    lens: jax.Array,  # [Bd, H] post-append lengths
+    lens: jax.Array,  # [Bd, H] cached (pre-append) lengths
     row_base: jax.Array,
     *,
     sm_scale: float,
@@ -463,6 +480,8 @@ def paged_decode_attention(
     H = page_table.shape[1]
     G = HQ // H
     q_hm = q.reshape(Bd, H, G, D).transpose(1, 0, 2, 3)  # [H, Bd, G, D]
+    kn_hm = k_new.transpose(1, 0, 2)[:, :, None, :]  # [H, Bd, 1, D]
+    vn_hm = v_new.transpose(1, 0, 2)[:, :, None, :]
     kernel = functools.partial(
         _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G
     )
@@ -470,6 +489,8 @@ def paged_decode_attention(
         num_scalar_prefetch=3,
         grid=(Bd, H),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -493,7 +514,7 @@ def paged_decode_attention(
         lens.astype(jnp.int32),
         page_table.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        q_hm, k_pages, v_pages,
+        q_hm, kn_hm, vn_hm, k_pages, v_pages,
     )
     return o_hm.transpose(1, 0, 2, 3).reshape(Bd, HQ, D)
 
@@ -523,11 +544,12 @@ def pallas_attention_impl(interpret: bool = False):
             interpret=interpret,
         )
 
-    def decode(geom, cache, layer, q, meta, sm_scale):
+    def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale):
         pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
         lens_l = jax.lax.dynamic_index_in_dim(cache.bh_lens, layer, 0, keepdims=False)
         return paged_decode_attention(
-            q, cache.k_pages, cache.v_pages, pt_l[meta.slots], lens_l[meta.slots],
+            q, k_new, v_new, cache.k_pages, cache.v_pages,
+            pt_l[meta.slots], lens_l[meta.slots],
             layer * geom.rows_per_layer,
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )

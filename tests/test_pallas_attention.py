@@ -143,35 +143,45 @@ def test_decode_kernel_vs_oracle(HQ):
     cache_lens = rng.integers(1, 30, size=(B, H)).astype(np.int32)
     state, slots = build_cache(rng, [1] * B, cache_lens)
     q = rng.normal(size=(B, HQ, D)).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
     sm = 1.0 / np.sqrt(D)
     pt = np.asarray(state.page_table)[0][slots]
     lens = np.asarray(state.bh_lens)[0][slots]
     got = paged_decode_attention(
-        jnp.asarray(q), state.k_pages, state.v_pages,
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages,
         jnp.asarray(pt), jnp.asarray(lens), 0,
         sm_scale=sm, page_size=PAGE, interpret=True,
     )
     want = ref_decode_attention(
         GEOM, state, 0, jnp.asarray(q), jnp.asarray(slots),
         max_cache_len=int(cache_lens.max()), sm_scale=sm,
+        k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3, rtol=1e-6)
 
 
-def test_decode_kernel_zero_len_slot_is_zero():
+def test_decode_kernel_empty_cache_attends_self_only():
+    """A lane with an empty cached prefix attends only to its own (self)
+    K/V: the output is exactly v_new."""
     rng = np.random.default_rng(2)
     B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
     cache_lens = np.array([[4, 4, 4, 4], [0, 0, 0, 0]], np.int32)
     state, slots = build_cache(rng, [1, 1], cache_lens)
     q = rng.normal(size=(B, 8, D)).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
     pt = np.asarray(state.page_table)[0][slots]
     lens = np.asarray(state.bh_lens)[0][slots]
     got = np.asarray(
         paged_decode_attention(
-            jnp.asarray(q), state.k_pages, state.v_pages,
+            jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            state.k_pages, state.v_pages,
             jnp.asarray(pt), jnp.asarray(lens), 0,
             sm_scale=1.0, page_size=PAGE, interpret=True,
         )
     )
-    assert np.isfinite(got[0]).all() and np.abs(got[0]).sum() > 0
-    np.testing.assert_array_equal(got[1], 0.0)
+    assert np.isfinite(got).all()
+    want_self = np.repeat(vn[1], 2, axis=0)  # G=2 query heads per kv head
+    np.testing.assert_allclose(got[1], want_self, atol=3e-3)
