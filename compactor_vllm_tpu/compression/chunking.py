@@ -26,8 +26,36 @@ class ChunkMeta(NamedTuple):
     num_chunks: int  # static NC
 
 
-def static_num_chunks(t_pad: int, b_pad: int, chunk_size: int) -> int:
+def static_num_chunks(
+    t_pad: int, b_pad: int, chunk_size: int, aligned: bool = False
+) -> int:
+    if aligned:
+        return t_pad // chunk_size
     return -(-t_pad // chunk_size) + b_pad
+
+
+def make_chunk_meta_aligned(
+    token_seq_idx: jax.Array,  # [T]
+    token_valid: jax.Array,  # [T]
+    chunk_size: int,
+) -> ChunkMeta:
+    """Chunk meta for chunk-aligned packing: every sequence starts at a
+    multiple of `chunk_size` in the packed layout, so chunks are contiguous
+    slices — scatter/gather between packed and chunked layouts is a reshape
+    (the scatter the general path needs costs several ms per layer on TPU).
+    """
+    T = token_seq_idx.shape[0]
+    assert T % chunk_size == 0
+    NC = T // chunk_size
+    rows = jnp.arange(T, dtype=jnp.int32)
+    gcid = rows // chunk_size
+    cpos = rows % chunk_size
+    vm = token_valid.reshape(NC, chunk_size)
+    count = vm.sum(axis=1).astype(jnp.int32)
+    # Owning sequence: any valid token's seq id (chunks never span sequences).
+    sid = jnp.where(vm, token_seq_idx.reshape(NC, chunk_size), 0)
+    chunk_seq = jnp.max(sid, axis=1).astype(jnp.int32)
+    return ChunkMeta(gcid, cpos, count, chunk_seq, NC)
 
 
 def make_chunk_meta(
@@ -63,14 +91,22 @@ def make_chunk_meta(
     return ChunkMeta(gcid, cpos, count, chunk_seq, num_chunks)
 
 
-def scatter_to_chunks(x: jax.Array, meta: ChunkMeta, chunk_size: int) -> jax.Array:
+def scatter_to_chunks(
+    x: jax.Array, meta: ChunkMeta, chunk_size: int, aligned: bool = False
+) -> jax.Array:
     """[T, ...] packed -> [NC, C, ...]; invalid tokens dropped, holes zero."""
+    if aligned:
+        return x.reshape((meta.num_chunks, chunk_size) + x.shape[1:])
     out = jnp.zeros((meta.num_chunks, chunk_size) + x.shape[1:], x.dtype)
     return out.at[meta.gcid, meta.cpos].set(x, mode="drop")
 
 
-def gather_from_chunks(xc: jax.Array, meta: ChunkMeta) -> jax.Array:
+def gather_from_chunks(
+    xc: jax.Array, meta: ChunkMeta, aligned: bool = False
+) -> jax.Array:
     """[NC, C, ...] -> [T, ...]; invalid tokens read zeros (drop+fill)."""
+    if aligned:
+        return xc.reshape((-1,) + xc.shape[2:])
     return xc.at[meta.gcid, meta.cpos].get(mode="fill", fill_value=0)
 
 

@@ -26,6 +26,7 @@ from compactor_vllm_tpu.compression.chunking import (
     chunk_row_mask,
     gather_from_chunks,
     make_chunk_meta,
+    make_chunk_meta_aligned,
     scatter_to_chunks,
     segment_zscore,
     static_num_chunks,
@@ -53,14 +54,19 @@ def approximate_leverage_scores(
     meta: ChunkMeta,
     chunk_size: int,
     regularizer: float = RIDGE,
+    aligned: bool = False,
+    token_valid: jax.Array | None = None,  # [T]; required when aligned
 ) -> jax.Array:  # [T, H] z-scored per chunk
     T, H, D = k.shape
     s = phi.shape[1]
     X = jnp.einsum(
         "thd,ds->ths", k.astype(jnp.float32), phi, preferred_element_type=jnp.float32
     )
-    Xc = scatter_to_chunks(X, meta, chunk_size)  # [NC, C, H, s]
+    Xc = scatter_to_chunks(X, meta, chunk_size, aligned)  # [NC, C, H, s]
     row_mask = chunk_row_mask(meta, chunk_size)  # [NC, C]
+    # Zero invalid rows first: the aligned (reshape) path keeps padding-row
+    # values, which may be NaN garbage from unwritten kernel output rows.
+    Xc = jnp.where(row_mask[:, :, None, None], Xc, 0.0)
     cnt = jnp.maximum(meta.chunk_valid_count.astype(jnp.float32), 1.0)[
         :, None, None
     ]  # [NC,1,1]
@@ -82,10 +88,12 @@ def approximate_leverage_scores(
     )  # [NC, H, s, C]
     sc = jnp.maximum(jnp.einsum("nhsc->nch", Y * Y), 0.0)  # [NC, C, H]
 
-    scores = gather_from_chunks(sc, meta)  # [T, H]
+    scores = gather_from_chunks(sc, meta, aligned)  # [T, H]
     # Per-chunk z-score over (tokens x heads), matching the reference epilogue
     # that normalizes over each scoring chunk (compactor.py:215-221 grid).
-    valid = meta.gcid < meta.num_chunks
+    # (In aligned packing every row has a chunk id, so padding must be
+    # excluded via token_valid; in the scatter path gcid==NC marks it.)
+    valid = token_valid if token_valid is not None else meta.gcid < meta.num_chunks
     return segment_zscore(scores, meta.gcid, valid, meta.num_chunks)
 
 
@@ -98,6 +106,7 @@ def non_causal_chunk_attention_scores(
     num_seqs: int,
     chunk_size: int = POSTROPE_CHUNK,
     sm_scale: float = 1.0,
+    aligned: bool = False,
 ) -> jax.Array:  # [T, H] z-scored per sequence
     """Column attention mass of each key within its chunk, non-causal.
 
@@ -108,8 +117,8 @@ def non_causal_chunk_attention_scores(
     T, HQ, D = q.shape
     H = k.shape[1]
     G = HQ // H
-    qc = scatter_to_chunks(q.reshape(T, H, G, D), meta, chunk_size)  # [NC,C,H,G,D]
-    kc = scatter_to_chunks(k, meta, chunk_size)  # [NC, C, H, D]
+    qc = scatter_to_chunks(q.reshape(T, H, G, D), meta, chunk_size, aligned)
+    kc = scatter_to_chunks(k, meta, chunk_size, aligned)  # [NC, C, H, D]
     row_mask = chunk_row_mask(meta, chunk_size)  # [NC, C]
 
     logits = jnp.einsum(
@@ -129,7 +138,7 @@ def non_causal_chunk_attention_scores(
     p = jnp.where(kmask, p, 0.0)
     colmass = p.sum(axis=(2, 3))  # [NC, H, C_k]
     scores = gather_from_chunks(
-        jnp.einsum("nhk->nkh", colmass), meta
+        jnp.einsum("nhk->nkh", colmass), meta, aligned
     )  # [T, H]
     return segment_zscore(scores, token_seq_idx, token_valid, num_seqs)
 
@@ -148,17 +157,30 @@ def compactor_scores(
     score_chunk_size: int,  # 512 default; == t_pad when chunking disabled
     t_pad: int,
     b_pad: int,
+    aligned: bool = False,  # sequence starts are chunk-aligned in the packing
 ) -> jax.Array:
     """Full Compactor scoring pipeline -> [T, H] selection scores."""
-    nc_pre = static_num_chunks(t_pad, b_pad, score_chunk_size)
-    meta_pre = make_chunk_meta(
-        seq_lens, token_seq_idx, token_in_pos, token_valid, score_chunk_size, nc_pre
-    )
-    pre = approximate_leverage_scores(k_prerope, phi, meta_pre, score_chunk_size)
-
-    nc_post = static_num_chunks(t_pad, b_pad, POSTROPE_CHUNK)
-    meta_post = make_chunk_meta(
-        seq_lens, token_seq_idx, token_in_pos, token_valid, POSTROPE_CHUNK, nc_post
+    if aligned:
+        meta_pre = make_chunk_meta_aligned(
+            token_seq_idx, token_valid, score_chunk_size
+        )
+        meta_post = make_chunk_meta_aligned(
+            token_seq_idx, token_valid, POSTROPE_CHUNK
+        )
+    else:
+        nc_pre = static_num_chunks(t_pad, b_pad, score_chunk_size)
+        meta_pre = make_chunk_meta(
+            seq_lens, token_seq_idx, token_in_pos, token_valid,
+            score_chunk_size, nc_pre,
+        )
+        nc_post = static_num_chunks(t_pad, b_pad, POSTROPE_CHUNK)
+        meta_post = make_chunk_meta(
+            seq_lens, token_seq_idx, token_in_pos, token_valid,
+            POSTROPE_CHUNK, nc_post,
+        )
+    pre = approximate_leverage_scores(
+        k_prerope, phi, meta_pre, score_chunk_size,
+        aligned=aligned, token_valid=token_valid,
     )
     post = non_causal_chunk_attention_scores(
         q_postrope,
@@ -167,6 +189,7 @@ def compactor_scores(
         token_seq_idx,
         token_valid,
         num_seqs=seq_lens.shape[0],
+        aligned=aligned,
     )
     scores = post + PRE_POST_BLEND * pre
     return apply_protection(

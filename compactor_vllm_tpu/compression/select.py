@@ -16,31 +16,32 @@ from compactor_vllm_tpu.compression.compactor import NEG_INF
 
 def topk_retain_indices(
     scores: jax.Array,  # [T, H] (+inf protected, -inf padding)
-    token_seq_idx: jax.Array,  # [T]
-    token_in_pos: jax.Array,  # [T]
-    token_valid: jax.Array,  # [T]
+    seq_starts: jax.Array,  # [Bp] packed row offset per sequence
+    seq_lens: jax.Array,  # [Bp]
     retain: jax.Array,  # [Bp] per-sequence (token, head) budget
-    num_seqs: int,
     max_q: int,
     k_static: int,
 ):
-    """Returns (topk_idx [Bp, K], topk_valid [Bp, K])."""
+    """Returns (topk_idx [Bp, K], topk_valid [Bp, K]).
+
+    The per-sequence score rows are assembled with a gather from the packed
+    layout (scatters are several ms on TPU; gathers are cheap), then one
+    `top_k` over the joint (token, head) axis spends the budget.
+    """
     T, H = scores.shape
-    # Unpack to [Bp, max_q, H] padded with -inf.
-    padded = jnp.full((num_seqs + 1, max_q, H), NEG_INF, jnp.float32)
-    sid = jnp.where(token_valid, token_seq_idx, num_seqs)
-    padded = padded.at[sid, jnp.where(token_valid, token_in_pos, 0)].set(
-        scores.astype(jnp.float32), mode="drop"
-    )
-    flat = padded[:num_seqs].reshape(num_seqs, max_q * H)
+    Bp = seq_starts.shape[0]
+    qpos = jnp.arange(max_q, dtype=jnp.int32)[None, :]
+    rows = jnp.clip(seq_starts[:, None] + qpos, 0, T - 1)  # [Bp, max_q]
+    in_seq = qpos < seq_lens[:, None]
+    padded = jnp.where(
+        in_seq[:, :, None], scores[rows].astype(jnp.float32), NEG_INF
+    )  # [Bp, max_q, H]
+    flat = padded.reshape(Bp, max_q * H)
     k_eff = min(k_static, max_q * H)
     _, idx = jax.lax.top_k(flat, k_eff)  # [Bp, K] sorted by score desc
     kpos = jnp.arange(k_eff, dtype=jnp.int32)[None, :]
-    lens = jnp.zeros(num_seqs, jnp.int32).at[sid].add(
-        jnp.where(token_valid, 1, 0), mode="drop"
-    )
-    budget = jnp.minimum(retain, lens * H)
+    budget = jnp.minimum(retain, seq_lens * H)
     valid = kpos < budget[:, None]
     # Never select a padding pair even if the budget over-runs real entries.
-    valid &= (idx // H) < lens[:, None]
+    valid &= (idx // H) < seq_lens[:, None]
     return idx.astype(jnp.int32), valid

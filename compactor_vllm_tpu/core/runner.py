@@ -218,7 +218,24 @@ class ModelRunner:
             chunked=bp.do_chunked_compression,
             chunk_size=bp.chunk_size,
             topk_static=_pow2_bucket(max_retain, 16),
+            aligned=True,  # run_prefill aligns starts to _start_align(bp)
         )
+
+    @staticmethod
+    def _start_align(bp: BatchCompressionParams) -> int:
+        """Packed-start alignment: 8 tokens for kernel DMA tiling, raised to
+        the scoring-chunk LCM so chunked compression can use reshape views."""
+        from compactor_vllm_tpu.compression.compactor import POSTROPE_CHUNK
+
+        if (
+            bp.compression_method == CompressionMethod.COMPACTOR
+            and bp.do_chunked_compression
+        ):
+            a, b = bp.chunk_size, POSTROPE_CHUNK
+            import math
+
+            return a * b // math.gcd(a, b)
+        return 8
 
     def _shard_step(self, inner, meta_type):
         """Wrap a per-device step in shard_map over the (dp, tp) mesh.
@@ -351,18 +368,23 @@ class ModelRunner:
     def run_prefill(self, seqs: list[Sequence], bp: BatchCompressionParams) -> np.ndarray:
         B = len(seqs)
         lens = [s.num_prompt_tokens for s in seqs]
-        # Pack sequences at 8-token-aligned starts (Pallas DMA tiling
-        # contract, ops/pallas_attention.py) — at most 7 padding rows/seq.
+        # Pack sequences at aligned starts: 8 tokens minimum (Pallas DMA
+        # tiling contract, ops/pallas_attention.py), or the scoring-chunk
+        # size when compressing so chunked scoring is scatter-free.
+        align = self._start_align(bp)
         starts = np.zeros(B, np.int32)
         off = 0
         for i, L in enumerate(lens):
             starts[i] = off
-            off = cdiv(off + L, 8) * 8
+            off = cdiv(off + L, align) * align
         t_pad = _bucket(off, self.cfg.prefill_token_buckets)
-        # Tile-aligned slack past the last token (TOKEN_SLACK contract).
+        # Tile-aligned slack past the last token (TOKEN_SLACK contract);
+        # t_pad itself must stay a multiple of the alignment.
         from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
 
-        t_pad = cdiv(t_pad, 256) * 256 + TOKEN_SLACK
+        round_to = max(256, align)
+        t_pad = cdiv(max(t_pad, off), round_to) * round_to
+        t_pad += cdiv(TOKEN_SLACK, round_to) * round_to
         b_pad = _bucket(B, self.cfg.decode_batch_buckets)
         comp = self._comp_static(bp, seqs)
 

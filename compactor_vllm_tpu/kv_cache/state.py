@@ -151,8 +151,11 @@ def store_prefill_full(
         token_valid[:, None],
     )
     rows = rows.reshape(T * H)
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(T * H, D))
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(T * H, D))
+    # unique_indices: every (token, head) lands on its own cache row; the only
+    # duplicates are invalid lanes on the trash page, whose content is
+    # garbage by design. Without the hint XLA serializes the scatter.
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(T * H, D), unique_indices=True)
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(T * H, D), unique_indices=True)
 
     new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
@@ -215,8 +218,9 @@ def store_prefill_topk(
     k_sel = k_new.reshape(T * H, D)[src]
     v_sel = v_new.reshape(T * H, D)[src]
 
-    k_pages = state.k_pages.at[rows].set(k_sel)
-    v_pages = state.v_pages.at[rows].set(v_sel)
+    # unique_indices: see store_prefill_full (trash-page duplicates only).
+    k_pages = state.k_pages.at[rows].set(k_sel, unique_indices=True)
+    v_pages = state.v_pages.at[rows].set(v_sel, unique_indices=True)
 
     retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
     new_lens = cached_lens + retained
@@ -250,8 +254,9 @@ def store_decode_all_layers(
     )
     trash = geom.num_rows + (cur % geom.page_size)
     rows = jnp.where(valid[None, :, None], rows, trash).reshape(-1)
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(-1, D))
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(-1, D))
+    # unique_indices: see store_prefill_full (trash-page duplicates only).
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(-1, D), unique_indices=True)
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(-1, D), unique_indices=True)
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
     safe_slots = jnp.where(valid, slots, B)
@@ -280,8 +285,8 @@ def store_decode(
     rows = _cache_rows(
         geom, layer, pt_l, slots[:, None], heads, cur, valid[:, None]
     ).reshape(Bd * H)
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(Bd * H, D))
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(Bd * H, D))
+    k_pages = state.k_pages.at[rows].set(k_new.reshape(Bd * H, D), unique_indices=True)
+    v_pages = state.v_pages.at[rows].set(v_new.reshape(Bd * H, D), unique_indices=True)
     bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
     return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
 

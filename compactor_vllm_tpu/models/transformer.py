@@ -133,14 +133,23 @@ class CompressionStatic:
     chunked: bool = True
     chunk_size: int = 512
     topk_static: int = 0  # static top-k width (>= max retain in the batch)
+    # Sequence starts in the packed layout are aligned to the score chunk, so
+    # chunked scoring uses reshape views instead of scatters (chunking.py).
+    aligned: bool = False
 
 
 @dataclass(frozen=True)
 class AttentionImpl:
-    """Pluggable attention backend: the jnp oracle or Pallas kernels."""
+    """Pluggable attention backend: the jnp oracle or Pallas kernels.
+
+    store_full/store_topk override the jnp cache stores (XLA row scatters
+    serialize on TPU; the Pallas backend stores page-granular DMAs instead).
+    """
 
     prefill: Callable[..., jax.Array]
     decode: Callable[..., jax.Array]
+    store_full: Callable[..., KVCacheState] | None = None
+    store_topk: Callable[..., KVCacheState] | None = None
 
 
 def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
@@ -240,11 +249,14 @@ def _attention_block(
             (m.slots.shape[0], spec.num_kv_heads), jnp.int32
         )  # fresh prefill: every sequence starts with an empty cache
         if comp.method == CompressionMethod.NONE:
-            cache = store_prefill_full(
-                geom, cache, layer, k, v,
-                m.token_seq_idx, m.token_in_pos, m.token_valid,
-                m.slots, cached_lens, m.seq_lens, m.seq_valid,
-            )
+            if attn.store_full is not None:
+                cache = attn.store_full(geom, cache, layer, k, v, m)
+            else:
+                cache = store_prefill_full(
+                    geom, cache, layer, k, v,
+                    m.token_seq_idx, m.token_in_pos, m.token_valid,
+                    m.slots, cached_lens, m.seq_lens, m.seq_valid,
+                )
         else:
             b_pad = m.slots.shape[0]
             if comp.method == CompressionMethod.COMPACTOR:
@@ -254,6 +266,7 @@ def _attention_block(
                     m.token_seq_idx, m.token_in_pos, m.token_valid,
                     m.protected_first, m.protected_last,
                     score_chunk_size=chunk, t_pad=N, b_pad=b_pad,
+                    aligned=comp.aligned and comp.chunked,
                 )
             else:
                 scores = snapkv_scores(
@@ -262,13 +275,16 @@ def _attention_block(
                     m.protected_last, max_q=max_q,
                 )
             idx, valid_k = topk_retain_indices(
-                scores, m.token_seq_idx, m.token_in_pos, m.token_valid,
-                m.retain, num_seqs=b_pad, max_q=max_q, k_static=comp.topk_static,
+                scores, m.seq_starts, m.seq_lens,
+                m.retain, max_q=max_q, k_static=comp.topk_static,
             )
-            cache = store_prefill_topk(
-                geom, cache, layer, k, v, idx, valid_k,
-                m.seq_starts, m.slots, cached_lens, m.seq_valid,
-            )
+            if attn.store_topk is not None:
+                cache = attn.store_topk(geom, cache, layer, k, v, idx, valid_k, m)
+            else:
+                cache = store_prefill_topk(
+                    geom, cache, layer, k, v, idx, valid_k,
+                    m.seq_starts, m.slots, cached_lens, m.seq_valid,
+                )
         # Attention output is exact: it attends over this step's raw K/V
         # regardless of what was stored (reference layers/attention.py:51-126).
         o = attn.prefill(geom, cache, layer, q, k, v, m, spec.sm_scale, max_q)

@@ -519,6 +519,122 @@ def paged_decode_attention(
     return o_hm.transpose(1, 0, 2, 3).reshape(Bd, HQ, D)
 
 
+# ------------------------------------------------------------------- store
+
+
+def _store_kernel(
+    srow_ref,  # [Bp, H] i32: first src row of (b, h)'s segment
+    cnt_ref,  # [Bp, H] i32: tokens to store for (b, h)
+    pt_ref,  # [Bp, H, maxp] i32
+    base_ref,  # [1] i32
+    ks_hbm,  # [N, D] source K rows (segment-contiguous per (b, h))
+    vs_hbm,  # [N, D]
+    kp_in,  # [rows, D] (aliased to outputs)
+    vp_in,
+    kp_out,  # [rows, D] == kp_in
+    vp_out,
+    sems,  # DMA [4, 2]
+    *,
+    page_size: int,
+):
+    """Page-granular HBM->HBM cache store.
+
+    Replaces XLA row scatters (which serialize at ~175ns/row on TPU) with one
+    DMA per destination page. Sources must be segment-contiguous per (b, h)
+    with 8-row-aligned segment starts; whole pages are copied, so the tail of
+    the last page carries garbage rows — harmless, since bh_lens bounds every
+    reader, and the page is owned by this head. Destination positions start
+    at 0 (fresh prefill; reference stores into freshly reserved pages too,
+    store_kv_cache.py:81-175, 252-371).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    base = base_ref[0]
+    n = cnt_ref[b, h]
+    npages = pl.cdiv(n, page_size)
+    RING = 4
+
+    def dma(slot, j):
+        src = pl.multiple_of(srow_ref[b, h] + j * page_size, 8)
+        dst = pl.multiple_of(base + pt_ref[b, h, j] * page_size, page_size)
+        return (
+            pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(src, page_size), :],
+                kp_out.at[pl.ds(dst, page_size), :],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(src, page_size), :],
+                vp_out.at[pl.ds(dst, page_size), :],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def body(j, _):
+        # Drain the ring slot before reusing its semaphore.
+        @pl.when(j >= RING)
+        def _():
+            kd, vd = dma(jax.lax.rem(j, RING), j - RING)
+            kd.wait()
+            vd.wait()
+
+        @pl.when(j < npages)
+        def _():
+            kd, vd = dma(jax.lax.rem(j, RING), j)
+            kd.start()
+            vd.start()
+
+        return 0
+
+    jax.lax.fori_loop(0, npages + RING, body, 0)
+
+
+def paged_store_prefill(
+    k_src: jax.Array,  # [N, D] segment-contiguous source rows
+    v_src: jax.Array,
+    k_pages: jax.Array,  # [rows, D]
+    v_pages: jax.Array,
+    src_row_start: jax.Array,  # [Bp, H] i32 (8-aligned)
+    counts: jax.Array,  # [Bp, H] i32
+    page_table: jax.Array,  # [Bp, H, maxp]
+    row_base: jax.Array,
+    *,
+    page_size: int,
+    interpret: bool = False,
+):
+    """Returns updated (k_pages, v_pages); the cache buffers are aliased
+    in-place."""
+    Bp, H = counts.shape
+    kernel = functools.partial(_store_kernel, page_size=page_size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Bp, H),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4, 2))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ),
+        input_output_aliases={6: 0, 7: 1},  # kp/vp inputs (after 4 scalars)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        src_row_start.astype(jnp.int32),
+        counts.astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        jnp.asarray(row_base, jnp.int32).reshape(1),
+        k_src, v_src, k_pages, v_pages,
+    )
+
+
 # --------------------------------------------------------------- engine glue
 
 
@@ -554,4 +670,92 @@ def pallas_attention_impl(interpret: bool = False):
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )
 
-    return AttentionImpl(prefill=prefill, decode=decode)
+    def _finish_store(geom, cache, layer, kp, vp, slots, counts, seq_valid):
+        from compactor_vllm_tpu.kv_cache.state import _update_lens
+
+        bh_lens = _update_lens(cache.bh_lens, layer, slots, counts, seq_valid)
+        return cache._replace(k_pages=kp, v_pages=vp, bh_lens=bh_lens)
+
+    def store_full(geom, cache, layer, k, v, meta):
+        """Uncompressed prefill store: per (seq, head) the source tokens are
+        contiguous in the head-major view, one DMA per destination page."""
+        T, H, D = k.shape
+        Bp = meta.slots.shape[0]
+        pt = jax.lax.dynamic_index_in_dim(
+            cache.page_table, layer, 0, keepdims=False
+        )[meta.slots]
+        k_hm = k.transpose(1, 0, 2).reshape(H * T, D)
+        v_hm = v.transpose(1, 0, 2).reshape(H * T, D)
+        heads = jnp.arange(H, dtype=jnp.int32)[None, :]
+        src_start = heads * T + meta.seq_starts[:, None]  # [Bp, H], 8-aligned
+        counts = jnp.where(meta.seq_valid, meta.seq_lens, 0)[:, None] * jnp.ones(
+            (1, H), jnp.int32
+        )
+        kp, vp = paged_store_prefill(
+            k_hm, v_hm, cache.k_pages, cache.v_pages, src_start, counts, pt,
+            layer * geom.rows_per_layer, page_size=geom.page_size,
+            interpret=interpret,
+        )
+        return _finish_store(geom, cache, layer, kp, vp, meta.slots, counts,
+                             meta.seq_valid)
+
+    def store_topk(geom, cache, layer, k, v, topk_idx, topk_valid, meta):
+        """Compressed store: entries are ranked per head (deterministic
+        replacement for the reference's atomic slot claim), gathered into
+        8-aligned per-(seq, head) segments, then page-DMA'd into the cache."""
+        T, H, D = k.shape
+        Bp, K = topk_idx.shape
+        page = geom.page_size
+        pt = jax.lax.dynamic_index_in_dim(
+            cache.page_table, layer, 0, keepdims=False
+        )[meta.slots]
+
+        head = (topk_idx % H).astype(jnp.int32)
+        head_key = jnp.where(topk_valid, head, H)
+        order = jnp.argsort(head_key, axis=1, stable=True)  # [Bp, K]
+        head_sorted = jnp.take_along_axis(head_key, order, axis=1)
+        counts_all = jax.vmap(lambda x: jnp.bincount(x, length=H + 1))(head_sorted)
+        counts = counts_all[:, :H].astype(jnp.int32)
+        counts = counts * meta.seq_valid[:, None]
+        starts_exact = jnp.concatenate(
+            [jnp.zeros((Bp, 1), jnp.int32),
+             jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
+        )
+        c8 = ((counts + 7) // 8) * 8
+        starts8 = jnp.concatenate(
+            [jnp.zeros((Bp, 1), jnp.int32),
+             jnp.cumsum(c8, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
+        )
+        Kpad = ((K + 8 * H + page) // page + 1) * page
+
+        # Map padded-sorted slot j -> original top-k entry (pure gathers).
+        j = jnp.arange(Kpad, dtype=jnp.int32)[None, :]  # [1, Kpad]
+        h_of = jnp.clip(
+            jax.vmap(lambda s, jj: jnp.searchsorted(s, jj, side="right"))(
+                starts8, jnp.broadcast_to(j, (Bp, Kpad))
+            ).astype(jnp.int32) - 1,
+            0, H - 1,
+        )  # [Bp, Kpad]
+        r = j - jnp.take_along_axis(starts8, h_of, axis=1)
+        in_seg = (r >= 0) & (r < jnp.take_along_axis(counts, h_of, axis=1))
+        sorted_pos = jnp.take_along_axis(starts_exact, h_of, axis=1) + jnp.clip(r, 0)
+        orig = jnp.take_along_axis(order, jnp.clip(sorted_pos, 0, K - 1), axis=1)
+        tok = jnp.take_along_axis((topk_idx // H).astype(jnp.int32), orig, axis=1)
+        hh = jnp.take_along_axis(head, orig, axis=1)
+        src = (meta.seq_starts[:, None] + tok) * H + hh
+        src = jnp.where(in_seg, src, 0).reshape(-1)
+        src = jnp.concatenate([src, jnp.zeros(page, jnp.int32)])  # tail slack
+        k_sel = k.reshape(T * H, D)[src]
+        v_sel = v.reshape(T * H, D)[src]
+
+        seg_start = jnp.arange(Bp, dtype=jnp.int32)[:, None] * Kpad + starts8
+        kp, vp = paged_store_prefill(
+            k_sel, v_sel, cache.k_pages, cache.v_pages, seg_start, counts, pt,
+            layer * geom.rows_per_layer, page_size=page, interpret=interpret,
+        )
+        return _finish_store(geom, cache, layer, kp, vp, meta.slots, counts,
+                             meta.seq_valid)
+
+    return AttentionImpl(
+        prefill=prefill, decode=decode, store_full=store_full, store_topk=store_topk
+    )

@@ -185,3 +185,79 @@ def test_decode_kernel_empty_cache_attends_self_only():
     assert np.isfinite(got).all()
     want_self = np.repeat(vn[1], 2, axis=0)  # G=2 query heads per kv head
     np.testing.assert_allclose(got[1], want_self, atol=3e-3)
+
+
+def test_pallas_store_matches_jnp_store():
+    """Pallas page-DMA store vs the jnp scatter store: same retained tokens
+    (bh_lens-bounded reads; page-tail garbage beyond counts is allowed)."""
+    from compactor_vllm_tpu.config import CompressionMethod
+    from compactor_vllm_tpu.models.transformer import PrefillMeta
+    from compactor_vllm_tpu.ops.pallas_attention import pallas_attention_impl
+    from compactor_vllm_tpu.kv_cache.state import store_prefill_topk, store_prefill_full
+    from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
+
+    rng = np.random.default_rng(3)
+    seq_lens = [24, 9]
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = np.zeros((B, H), np.int32)
+    state, slots = build_cache(rng, seq_lens, cache_lens, max_new=4)
+    state2 = state
+    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, 8, 128)
+    impl = pallas_attention_impl(interpret=True)
+    meta = PrefillMeta(
+        input_ids=jnp.zeros(Tp, jnp.int32), positions=jnp.zeros(Tp, jnp.int32),
+        token_seq_idx=jnp.zeros(Tp, jnp.int32), token_in_pos=jnp.zeros(Tp, jnp.int32),
+        token_valid=jnp.zeros(Tp, bool),
+        seq_starts=jnp.asarray(starts), seq_lens=jnp.asarray(lens),
+        slots=jnp.asarray(slots), seq_valid=jnp.ones(B, bool),
+        retain=jnp.zeros(B, jnp.int32), protected_first=jnp.zeros(B, jnp.int32),
+        protected_last=jnp.zeros(B, jnp.int32), phi=jnp.zeros((D, 4)),
+    )
+
+    # --- full store parity
+    got = impl.store_full(GEOM, state, 0, jnp.asarray(kn), jnp.asarray(vn), meta)
+    seq_idx = np.zeros(Tp, np.int32); in_pos = np.zeros(Tp, np.int32); valid = np.zeros(Tp, bool)
+    for b, L in enumerate(seq_lens):
+        seq_idx[starts[b]:starts[b]+L] = b
+        in_pos[starts[b]:starts[b]+L] = np.arange(L)
+        valid[starts[b]:starts[b]+L] = True
+    want = store_prefill_full(
+        GEOM, state2, 0, jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(seq_idx), jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray(slots), jnp.zeros((B, H), jnp.int32), jnp.asarray(lens),
+        jnp.ones(B, bool),
+    )
+    for st_name, st in (("pallas", got), ("jnp", want)):
+        kd, vd, ln = gather_cache_dense(GEOM, st, 0, jnp.asarray(slots), 32)
+        if st_name == "pallas":
+            kd_p, ln_p = np.asarray(kd), np.asarray(ln)
+        else:
+            kd_j, ln_j = np.asarray(kd), np.asarray(ln)
+    np.testing.assert_array_equal(ln_p, ln_j)
+    for b, L in enumerate(seq_lens):
+        np.testing.assert_allclose(kd_p[b, :, :L], kd_j[b, :, :L])
+
+    # --- topk store parity (multiset per head)
+    K = 20
+    idx = np.zeros((B, K), np.int64); validk = np.zeros((B, K), bool)
+    sel = {}
+    for b, L in enumerate(seq_lens):
+        n = min(K, L * H // 2)
+        pairs = rng.choice(L * H, size=n, replace=False)
+        idx[b, :n] = pairs; validk[b, :n] = True
+        sel[b] = [(p // H, p % H) for p in pairs]
+    state3, _ = build_cache(rng, seq_lens, cache_lens, max_new=4)
+    got = impl.store_topk(GEOM, state3, 0, jnp.asarray(kn), jnp.asarray(vn),
+                          jnp.asarray(idx), jnp.asarray(validk), meta)
+    kd, vd, ln = gather_cache_dense(GEOM, got, 0, jnp.asarray(slots), 32)
+    kd, ln = np.asarray(kd), np.asarray(ln)
+    for b in range(B):
+        for h in range(H):
+            toks = sorted(t for (t, hh) in sel[b] if hh == h)
+            assert ln[b, h] == len(toks)
+            got_rows = kd[b, h, :ln[b, h]]
+            want_rows = kn[starts[b] + np.array(toks, int), h]
+            np.testing.assert_allclose(
+                got_rows[np.lexsort(got_rows.T)], want_rows[np.lexsort(want_rows.T)],
+                rtol=1e-6,
+            )
