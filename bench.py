@@ -50,17 +50,17 @@ def main():
         vocab_size=151936, use_qk_norm=True, tie_word_embeddings=True,
         rope_theta=1000000.0,
     )
-    prompt_len, new_tokens, n_requests = 4096, 128, 16
+    prompt_len, new_tokens, n_requests = 4096, 128, 32
     cfg = LLMConfig(
-        max_num_seqs=16,
+        max_num_seqs=32,
         max_model_len=prompt_len + new_tokens + 64,
-        max_num_batched_tokens=8192,
+        max_num_batched_tokens=16384,
         kvcache_page_size=64,
-        num_kv_pages=8704,
+        num_kv_pages=8704,  # ~8GB pool; compression reclaim sustains ~32 live seqs
         eos=-1,
         seed=0,
-        prefill_token_buckets=(8192,),
-        decode_batch_buckets=(16,),
+        prefill_token_buckets=(16384,),
+        decode_batch_buckets=(16, 32),
     )
     log("initializing params...")
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -86,9 +86,9 @@ def main():
         compression_method=CompressionMethod.COMPACTOR, chunk_size=512
     )
 
-    log("warmup (compiles prefill + decode programs)...")
+    log("warmup (compiles prefill + decode programs at full shapes)...")
     t0 = time.perf_counter()
-    engine.generate_from_sequences(make_seqs()[:2], bp)
+    engine.generate_from_sequences(make_seqs(), bp)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     log(f"timed run: {n_requests} x ({prompt_len} prompt + {new_tokens} new)...")

@@ -712,8 +712,13 @@ def pallas_attention_impl(interpret: bool = False):
 
         head = (topk_idx % H).astype(jnp.int32)
         head_key = jnp.where(topk_valid, head, H)
-        order = jnp.argsort(head_key, axis=1, stable=True)  # [Bp, K]
-        head_sorted = jnp.take_along_axis(head_key, order, axis=1)
+        # Stable grouping by head via ONE single-operand sort: pack
+        # (head, position) into one i32 key — cheaper than argsort, which
+        # sorts (key, iota) pairs. K < 2^20 by construction.
+        packed = head_key * (1 << 20) + jnp.arange(K, dtype=jnp.int32)[None, :]
+        skey = jnp.sort(packed, axis=1)
+        head_sorted = skey >> 20
+        order = skey & ((1 << 20) - 1)  # original top-k position per sorted slot
         counts_all = jax.vmap(lambda x: jnp.bincount(x, length=H + 1))(head_sorted)
         counts = counts_all[:, :H].astype(jnp.int32)
         counts = counts * meta.seq_valid[:, None]
