@@ -46,6 +46,12 @@ class CompressionMethod(enum.Enum):
     SNAPKV = "snapkv"
 
 
+def is_none_method(method) -> bool:
+    """True when `method` (enum member or registered name) disables
+    compression."""
+    return method in (CompressionMethod.NONE, CompressionMethod.NONE.value)
+
+
 @dataclass(frozen=True)
 class SamplingParams:
     """Per-sequence sampling parameters (reference: config/sampling_params.py:4-11)."""

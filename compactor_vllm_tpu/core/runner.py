@@ -29,6 +29,7 @@ from compactor_vllm_tpu.config import (
     CompressionMethod,
     LLMConfig,
     cdiv,
+    is_none_method,
 )
 from compactor_vllm_tpu.core.scheduler import Scheduler
 from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
@@ -208,7 +209,7 @@ class ModelRunner:
     # -------------------------------------------------------- compiled steps
 
     def _comp_static(self, bp: BatchCompressionParams, seqs) -> CompressionStatic:
-        if bp.compression_method == CompressionMethod.NONE:
+        if is_none_method(bp.compression_method):
             return CompressionStatic(method=CompressionMethod.NONE)
         max_retain = max(
             s.effective_retain_budget(self.lspec.num_kv_heads) for s in seqs
@@ -498,7 +499,7 @@ class ModelRunner:
         self.scheduler.add(seqs)
         active: list[Sequence] = []
         eos = self.cfg.eos
-        compressing = bp.compression_method != CompressionMethod.NONE
+        compressing = not is_none_method(bp.compression_method)
 
         def is_done(s: Sequence, token: int) -> bool:
             return token == eos or s.num_completion_tokens >= s.sampling_params.max_new_tokens

@@ -23,9 +23,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from compactor_vllm_tpu.compression.compactor import compactor_scores
 from compactor_vllm_tpu.compression.select import topk_retain_indices
-from compactor_vllm_tpu.compression.snapkv import snapkv_scores
 from compactor_vllm_tpu.config import CompressionMethod
 from compactor_vllm_tpu.kv_cache.state import (
     KVCacheGeometry,
@@ -127,15 +125,22 @@ class DecodeMeta(NamedTuple):
 
 @dataclass(frozen=True)
 class CompressionStatic:
-    """Trace-time compression configuration."""
+    """Trace-time compression configuration.
 
-    method: CompressionMethod = CompressionMethod.NONE
+    `method` is a CompressionMethod enum member or a registered method name
+    (compactor_vllm_tpu.compression.COMPRESSION_REGISTRY)."""
+
+    method: CompressionMethod | str = CompressionMethod.NONE
     chunked: bool = True
     chunk_size: int = 512
     topk_static: int = 0  # static top-k width (>= max retain in the batch)
     # Sequence starts in the packed layout are aligned to the score chunk, so
     # chunked scoring uses reshape views instead of scatters (chunking.py).
     aligned: bool = False
+
+    @property
+    def is_none(self) -> bool:
+        return self.method in (CompressionMethod.NONE, CompressionMethod.NONE.value)
 
 
 @dataclass(frozen=True)
@@ -248,7 +253,7 @@ def _attention_block(
         cached_lens = jnp.zeros(
             (m.slots.shape[0], spec.num_kv_heads), jnp.int32
         )  # fresh prefill: every sequence starts with an empty cache
-        if comp.method == CompressionMethod.NONE:
+        if comp.is_none:
             if attn.store_full is not None:
                 cache = attn.store_full(geom, cache, layer, k, v, m)
             else:
@@ -258,22 +263,12 @@ def _attention_block(
                     m.slots, cached_lens, m.seq_lens, m.seq_valid,
                 )
         else:
+            from compactor_vllm_tpu.compression import get_method
+
             b_pad = m.slots.shape[0]
-            if comp.method == CompressionMethod.COMPACTOR:
-                chunk = comp.chunk_size if comp.chunked else max_q
-                scores = compactor_scores(
-                    q, k_prerope, k, m.phi, m.seq_lens,
-                    m.token_seq_idx, m.token_in_pos, m.token_valid,
-                    m.protected_first, m.protected_last,
-                    score_chunk_size=chunk, t_pad=N, b_pad=b_pad,
-                    aligned=comp.aligned and comp.chunked,
-                )
-            else:
-                scores = snapkv_scores(
-                    q, k, m.seq_starts, m.seq_lens, m.token_seq_idx,
-                    m.token_in_pos, m.token_valid, m.protected_first,
-                    m.protected_last, max_q=max_q,
-                )
+            scores = get_method(comp.method).score(
+                q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad
+            )
             idx, valid_k = topk_retain_indices(
                 scores, m.seq_starts, m.seq_lens,
                 m.retain, max_q=max_q, k_static=comp.topk_static,

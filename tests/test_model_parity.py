@@ -175,3 +175,66 @@ def test_prefill_logits_and_greedy_decode_parity(make_cfg):
 
     np.testing.assert_allclose(ours_logits, hf_logits, atol=2e-4, rtol=1e-4)
     np.testing.assert_array_equal(ours_tokens, hf_tokens)
+
+
+def tiny_qwen3_moe_config():
+    return transformers.Qwen3MoeConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        moe_intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype=torch.float32,
+    )
+
+
+def tiny_llama31_config():
+    """Llama-3.1-style rope_scaling (wavelength-banded frequency rescaling,
+    reference: layers/rotary_embedding.py:34-60)."""
+    return transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+        tie_word_embeddings=False,
+        torch_dtype=torch.float32,
+    )
+
+
+@pytest.mark.parametrize("make_cfg", [tiny_qwen3_moe_config, tiny_llama31_config])
+def test_moe_and_rope_scaling_parity(make_cfg):
+    torch.manual_seed(1)
+    cfg = make_cfg()
+    hf_model = transformers.AutoModelForCausalLM.from_config(cfg)
+    hf_model.eval()
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (13, 7)]
+
+    ours_logits, ours_tokens = run_ours(hf_model, cfg, prompts, n_decode=6)
+    hf_logits, hf_tokens = run_hf(hf_model, prompts, n_decode=6)
+
+    np.testing.assert_allclose(ours_logits, hf_logits, atol=5e-4, rtol=1e-3)
+    np.testing.assert_array_equal(ours_tokens, hf_tokens)
