@@ -99,6 +99,14 @@ def main():
     total_tokens = sum(s.seq.num_tokens for s in outs)
     tok_s = total_tokens / dt
     log(f"{total_tokens} tokens in {dt:.2f}s")
+    log(f"phases: {engine.last_stats.summary()}")
+    # Peak KV memory (BASELINE.md second headline: 60.3 GB uncompressed vs
+    # 31.3 GB at 50% on the reference's H100 run).
+    geom = engine.runner.geom
+    page_bytes = 2 * geom.page_size * geom.head_dim * 2  # k+v, bf16
+    peak_gb = engine.runner.alloc.peak_used_pages * page_bytes * geom.num_layers / 2**30
+    log(f"peak KV in use: {peak_gb:.2f} GB "
+        f"(pool {geom.num_pages * page_bytes * geom.num_layers / 2**30:.2f} GB)")
 
     print(json.dumps({
         "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",

@@ -90,12 +90,13 @@ class LLMEngine:
         self,
         seqs: list[Sequence],
         batch_compression: BatchCompressionParams | None = None,
+        progress: bool = False,
     ) -> list[GenerationOutput]:
         bp = batch_compression or BatchCompressionParams()
         for s in seqs:
             s.clamp_compression_if_protected()
         t0 = time.perf_counter()
-        self.runner.generate(seqs, bp)
+        self.last_stats = self.runner.generate(seqs, bp, progress=progress)
         dt = time.perf_counter() - t0
         total = sum(s.num_tokens for s in seqs)
         logger.info(

@@ -15,6 +15,8 @@ TPU execution model (vs reference core/model_runner.py:29-555):
 from __future__ import annotations
 
 import logging
+import time
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -80,6 +82,30 @@ def _pow2_bucket(n: int, lo: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@dataclass
+class EngineStats:
+    """Per-generate-call phase accounting (the reference reports live
+    throughput via a tqdm bar, core/scheduler.py:190-205; we also keep
+    machine-readable totals)."""
+
+    prefill_tokens: int = 0
+    decode_tokens: int = 0
+    prefill_time: float = 0.0
+    decode_time: float = 0.0
+    num_prefill_batches: int = 0
+    num_decode_dispatches: int = 0
+
+    def summary(self) -> str:
+        pf = self.prefill_tokens / self.prefill_time if self.prefill_time else 0.0
+        dc = self.decode_tokens / self.decode_time if self.decode_time else 0.0
+        return (
+            f"prefill {self.prefill_tokens} tok in {self.prefill_time:.2f}s "
+            f"({pf:.0f} tok/s, {self.num_prefill_batches} batches); "
+            f"decode {self.decode_tokens} tok in {self.decode_time:.2f}s "
+            f"({dc:.0f} tok/s, {self.num_decode_dispatches} dispatches)"
+        )
 
 
 class ModelRunner:
@@ -386,7 +412,10 @@ class ModelRunner:
         round_to = max(256, align)
         t_pad = cdiv(max(t_pad, off), round_to) * round_to
         t_pad += cdiv(TOKEN_SLACK, round_to) * round_to
-        b_pad = _bucket(B, self.cfg.decode_batch_buckets)
+        # Prefill batches hold few (long) sequences — pad to their own small
+        # bucket, NOT the decode batch bucket: the joint top-k, head-grouping
+        # sort, and scoring all scale with the padded row count.
+        b_pad = _pow2_bucket(B, 4)
         comp = self._comp_static(bp, seqs)
 
         starts_pad = np.full(b_pad, off, np.int32)
@@ -492,7 +521,12 @@ class ModelRunner:
 
     # ------------------------------------------------------------- main loop
 
-    def generate(self, seqs: list[Sequence], bp: BatchCompressionParams) -> None:
+    def generate(
+        self,
+        seqs: list[Sequence],
+        bp: BatchCompressionParams,
+        progress: bool = False,
+    ) -> EngineStats:
         """Continuous-batching master loop (reference:
         core/model_runner.py:246-338): interleave greedy prefill batches with
         decode runs, refilling when occupancy drops."""
@@ -500,9 +534,25 @@ class ModelRunner:
         active: list[Sequence] = []
         eos = self.cfg.eos
         compressing = not is_none_method(bp.compression_method)
+        stats = EngineStats()
+        pbar = None
+        if progress:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(seqs), desc="generate", unit="seq")
 
         def is_done(s: Sequence, token: int) -> bool:
             return token == eos or s.num_completion_tokens >= s.sampling_params.max_new_tokens
+
+        def finish(s: Sequence):
+            self.scheduler.finish(s)
+            if pbar is not None:
+                tput = (
+                    (stats.prefill_tokens + stats.decode_tokens)
+                    / max(stats.prefill_time + stats.decode_time, 1e-9)
+                )
+                pbar.set_description(f"generate ({tput:.0f} tok/s)")
+                pbar.update(1)
 
         while not self.scheduler.is_finished():
             batch, updates = self.scheduler.schedule_prefill()
@@ -512,14 +562,18 @@ class ModelRunner:
                     "(KV pool too small for prompt + max_new_tokens?)"
                 )
             if batch:
+                t0 = time.perf_counter()
                 self.sync_page_table(updates)
                 tokens = self.run_prefill(batch, bp)
                 if compressing:
                     self.reclaim_after_compression(batch)
+                stats.prefill_time += time.perf_counter() - t0
+                stats.prefill_tokens += sum(s.num_prompt_tokens for s in batch)
+                stats.num_prefill_batches += 1
                 for s, t in zip(batch, tokens):
                     s.append_token(int(t))
                     if is_done(s, int(t)):
-                        self.scheduler.finish(s)
+                        finish(s)
                     else:
                         active.append(s)
                 if self.scheduler.waiting and self.alloc.num_free_slots > 0:
@@ -541,7 +595,10 @@ class ModelRunner:
                     max(max(s.sampling_params.max_new_tokens
                             - s.num_completion_tokens for s in active), 1),
                 )
+                t0 = time.perf_counter()
                 tokens = self.run_decode_loop(active, chunk)
+                stats.decode_time += time.perf_counter() - t0
+                stats.num_decode_dispatches += 1
                 still = []
                 for i, s in enumerate(active):
                     done = False
@@ -550,13 +607,18 @@ class ModelRunner:
                         if t == -1:
                             break
                         s.append_token(t)
+                        stats.decode_tokens += 1
                         if is_done(s, t):
                             done = True
                             break
                     if done:
-                        self.scheduler.finish(s)
+                        finish(s)
                     else:
                         still.append(s)
                 active = still
                 if self.scheduler.waiting and len(active) <= refill_at:
                     break
+        if pbar is not None:
+            pbar.close()
+        logger.info("generate: %s", stats.summary())
+        return stats

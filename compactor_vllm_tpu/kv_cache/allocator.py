@@ -73,6 +73,10 @@ class PageAllocator:
         self.free_slots = list(range(num_slots - 1, 0, -1))
         self.slot_of_seq: dict[int, int] = {}
 
+        # Peak pages in use across any (layer, shard) pool — the engine's
+        # peak-KV-memory observability (BASELINE.md headline metric).
+        self.peak_used_pages = 0
+
     # ------------------------------------------------------------------ slots
 
     @property
@@ -138,6 +142,9 @@ class PageAllocator:
                     off += n
             self.num_pages[l, slot] = np.maximum(self.num_pages[l, slot], target)
             max_col = max(max_col, target)
+        self.peak_used_pages = max(
+            self.peak_used_pages, int(self.P - self.free_count.min())
+        )
         return SlotUpdate(slot=slot, num_cols=max_col)
 
     def shrink(self, seq_id: int, keep_tokens: np.ndarray) -> None:
