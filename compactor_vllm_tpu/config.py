@@ -146,7 +146,7 @@ class LLMConfig:
     # Decode iterations fused into one compiled dispatch with in-device
     # termination masking (the reference's CUDA-graph decode loop analog,
     # core/model_runner.py:391-491).
-    decode_loop_steps: int = 8
+    decode_loop_steps: int = 16
 
     def __post_init__(self):
         assert self.max_num_seqs >= 1

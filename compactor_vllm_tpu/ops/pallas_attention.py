@@ -334,7 +334,7 @@ def paged_prefill_attention(
 # ------------------------------------------------------------------ decode
 
 
-DECODE_GROUP = 4  # pages fetched + reduced per flash step
+DECODE_GROUP = 8  # pages fetched + reduced per flash step
 
 
 def _decode_kernel(
