@@ -271,7 +271,10 @@ class ModelRunner:
         would partition the slots axis) and the cache/params pytrees carry
         their tp shardings; collectives inside `forward` ride the tp axis.
         """
-        meta_specs = meta_type(*([P()] * len(meta_type._fields)))
+        meta_specs = meta_type(**{
+            f: P(None, AXIS_TP, None) if f == "contig8" else P()
+            for f in meta_type._fields
+        })
         return jax.shard_map(
             inner,
             mesh=self.mesh,
@@ -338,7 +341,7 @@ class ModelRunner:
                     cache, ids, positions, remaining, alive = carry
                     dmeta = DecodeMeta(
                         input_ids=ids, positions=positions,
-                        slots=meta.slots, valid=alive,
+                        slots=meta.slots, valid=alive, contig8=meta.contig8,
                     )
                     cache, hidden = forward(
                         params, cache, dmeta, spec=self.lspec, geom=self.geom,
@@ -362,7 +365,10 @@ class ModelRunner:
                 return cache, toks  # [n_steps, b_pad]
 
             if self.mesh is not None:
-                meta_specs = DecodeMeta(*([P()] * len(DecodeMeta._fields)))
+                meta_specs = DecodeMeta(**{
+                    f: P(None, AXIS_TP, None) if f == "contig8" else P()
+                    for f in DecodeMeta._fields
+                })
                 loop = jax.shard_map(
                     loop,
                     mesh=self.mesh,
@@ -488,11 +494,18 @@ class ModelRunner:
             slots[i] = self.alloc.slot_of_seq[s.seq_id]
             temps[i] = s.sampling_params.temperature
         valid = np.arange(b_pad) < B
+        ng = cdiv(self.geom.max_pages_per_head, 8)
+        contig8 = np.zeros((b_pad, self.spec.num_kv_heads, ng), np.int32)
+        for i, s in enumerate(seqs):
+            contig8[i] = self.alloc.contig_groups(
+                self.alloc.slot_of_seq[s.seq_id], 8
+            )
         meta = DecodeMeta(
             input_ids=jnp.asarray(ids),
             positions=jnp.asarray(pos),
             slots=jnp.asarray(slots),
             valid=jnp.asarray(valid),
+            contig8=jnp.asarray(contig8),
         )
         return b_pad, meta, jnp.asarray(temps)
 

@@ -58,7 +58,10 @@ class PageAllocator:
         self.page_size = page_size
 
         # LIFO free stacks per (layer, shard). free[l, s, :count] are free ids.
-        ids = np.arange(pages_per_shard - 1, -1, -1, dtype=np.int32)
+        # Ascending initialization makes every fresh reservation a run of
+        # CONSECUTIVE ascending page ids per head — the decode kernel then
+        # fetches whole 8-page groups with one DMA (contig_groups below).
+        ids = np.arange(pages_per_shard, dtype=np.int32)
         self.free = np.tile(ids, (num_layers, num_shards, 1))
         self.free_count = np.full((num_layers, num_shards), pages_per_shard, np.int64)
 
@@ -176,6 +179,28 @@ class PageAllocator:
 
     def _free_all_pages(self, slot: int) -> None:
         self._shrink_slot(slot, np.zeros((self.L, self.H), np.int32))
+
+    # -------------------------------------------------------------- contiguity
+
+    def contig_groups(self, slot: int, group: int = 8) -> np.ndarray:
+        """[H, ceil(maxp/group)] bool: group g of this slot's pages is a run
+        of consecutive ascending ids, fully allocated, in EVERY layer — the
+        decode kernel can then fetch the whole group with a single DMA."""
+        maxp = self.max_pages_per_head
+        ng = -(-maxp // group)
+        pt = self.page_table[:, slot]  # [L, H, maxp]
+        np_alloc = self.num_pages[:, slot]  # [L, H]
+        ok = np.ones((self.H, ng), bool)
+        for g in range(ng):
+            lo, hi = g * group, g * group + group
+            if hi > maxp:
+                ok[:, g] = False
+                continue
+            blk = pt[:, :, lo:hi]  # [L, H, group]
+            consec = (np.diff(blk, axis=2) == 1).all(axis=2)  # [L, H]
+            allocated = np_alloc >= hi
+            ok[:, g] = (consec & allocated).all(axis=0)
+        return ok
 
     # ------------------------------------------------------------------ debug
 

@@ -121,6 +121,10 @@ class DecodeMeta(NamedTuple):
     positions: jax.Array  # [Bd] i32
     slots: jax.Array  # [Bd] i32
     valid: jax.Array  # [Bd] bool
+    # [Bd, H, ceil(maxp/8)] i32: 8-page group is a consecutive ascending run
+    # in every layer -> decode kernel fetches it with one DMA (allocator
+    # hands out consecutive runs; see PageAllocator.contig_groups).
+    contig8: jax.Array
 
 
 @dataclass(frozen=True)

@@ -340,6 +340,7 @@ DECODE_GROUP = 8  # pages fetched + reduced per flash step
 def _decode_kernel(
     lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
+    contig_ref,  # [Bd, H, ceil(maxp/GROUP)] i32 contiguous-run group flags
     base_ref,  # [1] i32
     q_ref,  # [H, Bd, G, D] VMEM
     kn_ref,  # [H, Bd, 1, D] VMEM — this step's key (merged in-register)
@@ -386,21 +387,57 @@ def _decode_kernel(
                 ),
             )
 
+        def run_dma(slot, i):
+            """Whole-group DMA when the allocator handed out a consecutive
+            ascending page run (PageAllocator.contig_groups)."""
+            row = pl.multiple_of(
+                base + pt_ref[b, h, i * GP] * page_size, page_size
+            )
+            return (
+                pltpu.make_async_copy(
+                    kp_hbm.at[pl.ds(row, GP * page_size), :],
+                    k_buf.at[slot], sems.at[slot, 0, 0],
+                ),
+                pltpu.make_async_copy(
+                    vp_hbm.at[pl.ds(row, GP * page_size), :],
+                    v_buf.at[slot], sems.at[slot, 0, 1],
+                ),
+            )
+
+        def is_run(i):
+            return (contig_ref[b, h, i] != 0) & ((i + 1) * GP <= num_pages)
+
         def start_group(slot, i):
-            for j in range(GP):
-                @pl.when(i * GP + j < num_pages)
-                def _():
-                    kd, vd = page_dma(slot, i, j)
-                    kd.start()
-                    vd.start()
+            @pl.when(is_run(i))
+            def _():
+                kd, vd = run_dma(slot, i)
+                kd.start()
+                vd.start()
+
+            @pl.when(jnp.logical_not(is_run(i)))
+            def _():
+                for j in range(GP):
+                    @pl.when(i * GP + j < num_pages)
+                    def _():
+                        kd, vd = page_dma(slot, i, j)
+                        kd.start()
+                        vd.start()
 
         def wait_group(slot, i):
-            for j in range(GP):
-                @pl.when(i * GP + j < num_pages)
-                def _():
-                    kd, vd = page_dma(slot, i, j)
-                    kd.wait()
-                    vd.wait()
+            @pl.when(is_run(i))
+            def _():
+                kd, vd = run_dma(slot, i)
+                kd.wait()
+                vd.wait()
+
+            @pl.when(jnp.logical_not(is_run(i)))
+            def _():
+                for j in range(GP):
+                    @pl.when(i * GP + j < num_pages)
+                    def _():
+                        kd, vd = page_dma(slot, i, j)
+                        kd.wait()
+                        vd.wait()
 
         start_group(0, 0)
 
@@ -471,6 +508,7 @@ def paged_decode_attention(
     page_table: jax.Array,  # [Bd, H, maxp]
     lens: jax.Array,  # [Bd, H] cached (pre-append) lengths
     row_base: jax.Array,
+    contig8: jax.Array | None = None,  # [Bd, H, ceil(maxp/GROUP)] run flags
     *,
     sm_scale: float,
     page_size: int,
@@ -479,6 +517,11 @@ def paged_decode_attention(
     Bd, HQ, D = q.shape
     H = page_table.shape[1]
     G = HQ // H
+    ng = -(-page_table.shape[2] // DECODE_GROUP)
+    if contig8 is None:
+        contig8 = jnp.zeros((Bd, H, ng), jnp.int32)
+    else:
+        contig8 = contig8[:, :, :ng]
     q_hm = q.reshape(Bd, H, G, D).transpose(1, 0, 2, 3)  # [H, Bd, G, D]
     kn_hm = k_new.transpose(1, 0, 2)[:, :, None, :]  # [H, Bd, 1, D]
     vn_hm = v_new.transpose(1, 0, 2)[:, :, None, :]
@@ -486,7 +529,7 @@ def paged_decode_attention(
         _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Bd, H),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -513,6 +556,7 @@ def paged_decode_attention(
     )(
         lens.astype(jnp.int32),
         page_table.astype(jnp.int32),
+        contig8.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
         q_hm, kn_hm, vn_hm, k_pages, v_pages,
     )
@@ -666,7 +710,7 @@ def pallas_attention_impl(interpret: bool = False):
         return paged_decode_attention(
             q, k_new, v_new, cache.k_pages, cache.v_pages,
             pt_l[meta.slots], lens_l[meta.slots],
-            layer * geom.rows_per_layer,
+            layer * geom.rows_per_layer, meta.contig8,
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )
 

@@ -134,6 +134,7 @@ def run_ours(hf_model, cfg, prompts, n_decode=8):
             positions=jnp.asarray(positions),
             slots=meta.slots,
             valid=jnp.ones(B, bool),
+            contig8=jnp.zeros((B, spec.num_kv_heads, geom.max_pages_per_head // 8 + 1), jnp.int32),
         )
         cache, hidden = forward(
             params, cache, dmeta, spec=spec, geom=geom, comp=comp, attn=attn,

@@ -31,7 +31,7 @@ from compactor_vllm_tpu.ops.pallas_attention import (
 PAGE = 8
 GEOM = KVCacheGeometry(
     num_layers=1,
-    num_pages=128,
+    num_pages=384,
     page_size=PAGE,
     num_kv_heads=4,
     head_dim=128,
@@ -40,7 +40,7 @@ GEOM = KVCacheGeometry(
 )
 
 
-def build_cache(rng, seq_lens, cache_lens_per_head, max_new=8):
+def build_cache(rng, seq_lens, cache_lens_per_head, max_new=8, return_alloc=False):
     alloc = PageAllocator(
         num_layers=1, num_shards=1, pages_per_shard=GEOM.num_pages,
         num_kv_heads=GEOM.num_kv_heads, max_pages_per_head=GEOM.max_pages_per_head,
@@ -74,6 +74,8 @@ def build_cache(rng, seq_lens, cache_lens_per_head, max_new=8):
         for b in range(B):
             lens[0, slots[b]] = cache_lens_per_head[b]
         state = state._replace(bh_lens=jnp.asarray(lens))
+    if return_alloc:
+        return state, np.array(slots, np.int32), alloc
     return state, np.array(slots, np.int32)
 
 
@@ -137,21 +139,29 @@ def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
 
 
 @pytest.mark.parametrize("HQ", [4, 8, 16])
-def test_decode_kernel_vs_oracle(HQ):
+@pytest.mark.parametrize("use_contig", [False, True])
+def test_decode_kernel_vs_oracle(HQ, use_contig):
     rng = np.random.default_rng(1)
     B, H, D = 3, GEOM.num_kv_heads, GEOM.head_dim
-    cache_lens = rng.integers(1, 30, size=(B, H)).astype(np.int32)
-    state, slots = build_cache(rng, [1] * B, cache_lens)
+    # Long enough that 8-page contiguous groups exist (page size 8 -> 64+).
+    lo, hi = (70, 100) if use_contig else (1, 30)
+    cache_lens = rng.integers(lo, hi, size=(B, H)).astype(np.int32)
+    state, slots, alloc = build_cache(rng, [1] * B, cache_lens, return_alloc=True)
     q = rng.normal(size=(B, HQ, D)).astype(np.float32)
     kn = rng.normal(size=(B, H, D)).astype(np.float32)
     vn = rng.normal(size=(B, H, D)).astype(np.float32)
     sm = 1.0 / np.sqrt(D)
     pt = np.asarray(state.page_table)[0][slots]
     lens = np.asarray(state.bh_lens)[0][slots]
+    contig = None
+    if use_contig:
+        contig = np.stack([alloc.contig_groups(s_, 8) for s_ in slots]).astype(np.int32)
+        assert contig.any(), "test setup must exercise the run-DMA path"
     got = paged_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         state.k_pages, state.v_pages,
         jnp.asarray(pt), jnp.asarray(lens), 0,
+        None if contig is None else jnp.asarray(contig),
         sm_scale=sm, page_size=PAGE, interpret=True,
     )
     want = ref_decode_attention(
