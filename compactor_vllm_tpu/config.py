@@ -148,6 +148,11 @@ class LLMConfig:
     # core/model_runner.py:391-491).
     decode_loop_steps: int = 16
 
+    # Persistent XLA compilation cache — the analog of the reference's Triton
+    # autotune disk cache (attention/sparse_varlen_kernel.py cache_results +
+    # compile_kernels.py AOT CLI). None disables; "" uses the default path.
+    compilation_cache_dir: str | None = ""
+
     def __post_init__(self):
         assert self.max_num_seqs >= 1
         assert self.kvcache_page_size >= 8 and (

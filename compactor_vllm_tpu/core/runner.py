@@ -15,6 +15,7 @@ TPU execution model (vs reference core/model_runner.py:29-555):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -121,6 +122,16 @@ class ModelRunner:
     ):
         self.cfg = cfg
         self.spec = spec
+        if cfg.compilation_cache_dir is not None:
+            path = cfg.compilation_cache_dir or os.path.expanduser(
+                "~/.cache/compactor_vllm_tpu/xla"
+            )
+            try:
+                os.makedirs(path, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception as e:  # pragma: no cover - best effort
+                logger.warning("compilation cache unavailable: %s", e)
         self.tp = cfg.tensor_parallel_size
         if self.tp > 1 and mesh is None:
             mesh = make_mesh(tp=self.tp)
