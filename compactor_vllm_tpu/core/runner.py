@@ -505,11 +505,13 @@ class ModelRunner:
             slots[i] = self.alloc.slot_of_seq[s.seq_id]
             temps[i] = s.sampling_params.temperature
         valid = np.arange(b_pad) < B
-        ng = cdiv(self.geom.max_pages_per_head, 8)
+        from compactor_vllm_tpu.ops.pallas_attention import DECODE_GROUP
+
+        ng = cdiv(self.geom.max_pages_per_head, DECODE_GROUP)
         contig8 = np.zeros((b_pad, self.spec.num_kv_heads, ng), np.int32)
         for i, s in enumerate(seqs):
             contig8[i] = self.alloc.contig_groups(
-                self.alloc.slot_of_seq[s.seq_id], 8
+                self.alloc.slot_of_seq[s.seq_id], DECODE_GROUP
             )
         meta = DecodeMeta(
             input_ids=jnp.asarray(ids),
