@@ -1,0 +1,69 @@
+"""Scheduler budget/capacity tests (reference: core/scheduler.py:65-108 —
+the reference ships no scheduler tests; SURVEY.md §4 calls for them)."""
+
+import pytest
+
+from compactor_vllm_tpu.config import LLMConfig, SamplingParams
+from compactor_vllm_tpu.core.scheduler import Scheduler
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
+from compactor_vllm_tpu.utils.sequence import Sequence
+
+
+def make(num_pages=64, max_seqs=4, max_tokens=128, max_len=128):
+    cfg = LLMConfig(
+        max_num_seqs=max_seqs, max_model_len=max_len,
+        max_num_batched_tokens=max_tokens, kvcache_page_size=8,
+        num_kv_pages=num_pages,
+    )
+    # __post_init__ clamps the token budget up to max_model_len.
+    alloc = PageAllocator(
+        num_layers=2, num_shards=1, pages_per_shard=num_pages,
+        num_kv_heads=2, max_pages_per_head=max_len // 8,
+        num_slots=max_seqs + 1, page_size=8,
+    )
+    return Scheduler(cfg, alloc), alloc, cfg
+
+
+def seq(n, new=8):
+    return Sequence(list(range(1, n + 1)),
+                    sampling_params=SamplingParams(0.0, new))
+
+
+def test_token_budget_limits_batch():
+    sched, alloc, cfg = make(max_tokens=128, max_len=128)
+    sched.add([seq(100), seq(100), seq(20)])
+    batch, _ = sched.schedule_prefill()
+    # First seq always admitted; second would blow the 128-token budget.
+    assert len(batch) == 1
+    batch2, _ = sched.schedule_prefill()
+    # FIFO: the second 100-token prompt plus the 20-token one fit the budget.
+    assert [x.num_prompt_tokens for x in batch2] == [100, 20]
+
+
+def test_page_capacity_gates_admission():
+    sched, alloc, cfg = make(num_pages=40, max_tokens=4096, max_len=128)
+    # Each seq: (100+8 tokens -> 14 pages/head-shard... ) 2 heads * 14 = 28 pages.
+    sched.add([seq(100), seq(100)])
+    batch, _ = sched.schedule_prefill()
+    assert len(batch) == 1  # second doesn't fit the 40-page pool
+    # Free it; the second can now be admitted.
+    sched.finish(batch[0])
+    batch2, _ = sched.schedule_prefill()
+    assert len(batch2) == 1
+    sched.finish(batch2[0])
+    assert sched.is_finished()
+    alloc.check_invariants()
+
+
+def test_slot_capacity_gates_admission():
+    sched, alloc, cfg = make(max_seqs=2, max_tokens=4096)
+    sched.add([seq(10), seq(10), seq(10)])
+    batch, _ = sched.schedule_prefill()
+    assert len(batch) == 2
+    assert sched.num_waiting == 1
+
+
+def test_prompt_longer_than_model_len_rejected():
+    sched, alloc, cfg = make(max_len=128)
+    with pytest.raises(AssertionError):
+        sched.add([seq(129)])
