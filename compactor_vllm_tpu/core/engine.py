@@ -49,6 +49,18 @@ class LLMEngine:
         runner: ModelRunner | None = None,
     ):
         self.cfg = cfg
+        if cfg.model and not cfg.model_path and not os.path.isdir(cfg.model):
+            # Resolve an HF hub id to the local snapshot (never downloads,
+            # reference: core/llm_engine.py:41-47 local_files_only=True).
+            try:
+                from huggingface_hub import snapshot_download
+
+                cfg.model_path = snapshot_download(cfg.model, local_files_only=True)
+            except Exception as e:
+                raise ValueError(
+                    f"model {cfg.model!r} is not a local directory and no "
+                    f"local HF snapshot exists ({e})"
+                ) from None
         if spec is None:
             from transformers import AutoConfig
 
