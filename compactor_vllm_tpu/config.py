@@ -146,7 +146,7 @@ class LLMConfig:
     # Decode iterations fused into one compiled dispatch with in-device
     # termination masking (the reference's CUDA-graph decode loop analog,
     # core/model_runner.py:391-491).
-    decode_loop_steps: int = 16
+    decode_loop_steps: int = 32
 
     # Persistent XLA compilation cache — the analog of the reference's Triton
     # autotune disk cache (attention/sparse_varlen_kernel.py cache_results +
