@@ -55,7 +55,16 @@ def spec_from_qwen3(cfg) -> ModelSpec:
 
 
 def spec_from_qwen3_moe(cfg) -> ModelSpec:
-    """Qwen3-MoE (reference: models/qwen3_moe.py:34-378)."""
+    """Qwen3-MoE (reference: models/qwen3_moe.py:34-378).
+
+    The decoder runs as one layer-stacked scan, so mixed dense/MoE layers
+    (decoder_sparse_step != 1 / mlp_only_layers) are not supported yet; all
+    released Qwen3-MoE checkpoints are uniformly MoE."""
+    if getattr(cfg, "mlp_only_layers", None) or getattr(cfg, "decoder_sparse_step", 1) != 1:
+        raise NotImplementedError(
+            "mixed dense/MoE layer stacks (mlp_only_layers/decoder_sparse_step) "
+            "are not supported"
+        )
     return ModelSpec(
         model_type="qwen3_moe",
         num_layers=cfg.num_hidden_layers,
