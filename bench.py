@@ -50,9 +50,9 @@ def main():
         vocab_size=151936, use_qk_norm=True, tie_word_embeddings=True,
         rope_theta=1000000.0,
     )
-    prompt_len, new_tokens, n_requests = 4096, 128, 32
+    prompt_len, new_tokens, n_requests = 4096, 128, 64
     cfg = LLMConfig(
-        max_num_seqs=32,
+        max_num_seqs=64,
         max_model_len=prompt_len + new_tokens + 64,
         max_num_batched_tokens=16384,
         kvcache_page_size=64,
@@ -60,7 +60,7 @@ def main():
         eos=-1,
         seed=0,
         prefill_token_buckets=(16384,),
-        decode_batch_buckets=(16, 32),
+        decode_batch_buckets=(16, 32, 64),
     )
     log("initializing params...")
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
