@@ -96,10 +96,14 @@ def packed(rng, seq_lens, HQ, tile):
 @pytest.mark.parametrize(
     "seq_lens,cache_desc,HQ",
     [
-        ([17, 33], "ragged", 8),   # GQA G=2, ragged per-head cache
-        ([9, 5], "zero", 8),       # empty cache (engine prefill path)
-        ([1, 1], "ragged", 4),     # single appended token, MHA
-        ([64], "full", 16),        # G=4, page-aligned cache
+        ([17, 33], "ragged", 8),       # GQA G=2, ragged per-head cache
+        ([9, 5], "zero", 8),           # empty cache (engine prefill path)
+        ([1, 1], "ragged", 4),         # single appended token, MHA
+        ([64], "full", 16),            # G=4, page-aligned cache
+        ([1], "zero", 8),              # minimal workload
+        ([8, 8, 8], "ragged", 8),      # page-size-aligned lengths
+        ([100, 3, 57], "ragged", 16),  # mixed lengths, bigger group
+        ([90], "full", 32),            # G=8 (tp-sharded MHA shapes)
     ],
 )
 def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
