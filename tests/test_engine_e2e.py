@@ -165,6 +165,25 @@ def test_mixed_compression_ratios_in_one_batch(tiny_model):
     engine.runner.alloc.check_invariants()
 
 
+def test_reference_backend_matches_pallas(tiny_model):
+    """AttentionBackend.REFERENCE (the jnp oracle path, the reference's
+    'alternate backend' analog, layers/attention.py:96-107) must produce the
+    same greedy tokens as the Pallas path."""
+    from compactor_vllm_tpu import AttentionBackend
+
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (9, 14)]
+
+    def run(backend):
+        engine = make_engine(tiny_model, attention_backend=backend)
+        seqs = [
+            Sequence(p, sampling_params=SamplingParams(0.0, 6)) for p in prompts
+        ]
+        return [o.completion_token_ids for o in engine.generate_from_sequences(seqs)]
+
+    assert run(AttentionBackend.REFERENCE) == run(AttentionBackend.PALLAS)
+
+
 def test_sampling_temperature_nonzero(tiny_model):
     engine = make_engine(tiny_model)
     rng = np.random.default_rng(9)
