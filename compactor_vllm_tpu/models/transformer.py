@@ -169,11 +169,12 @@ def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: i
             sm_scale=sm_scale,
         )
 
-    def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale):
+    def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale,
+               pt_l=None, lens_l=None):
         return ref_decode_attention(
             geom, cache, layer, q, meta.slots,
             max_cache_len=max_cache_len_decode, sm_scale=sm_scale,
-            k_new=k_new, v_new=v_new,
+            k_new=k_new, v_new=v_new, pt_l=pt_l, lens_l=lens_l,
         )
 
     return AttentionImpl(prefill=prefill, decode=decode)
@@ -239,6 +240,8 @@ def _attention_block(
     max_q: int,
     inv_freq: jax.Array,
     tp_axis: str | None,
+    pt_l=None,  # [Bd, H, maxp] this layer's page-table rows (decode)
+    lens_l=None,  # [Bd, H] this layer's cached lengths (decode)
 ):
     N = normed.shape[0]
     qkv = normed @ lp["qkv_proj"]
@@ -296,7 +299,8 @@ def _attention_block(
         # kv_cache/store_kv_cache.py:374-466; XLA scatters carry a fixed
         # cost that would serialize the scan).
         m: DecodeMeta = meta
-        o = attn.decode(geom, cache, layer, q, k, v, m, spec.sm_scale)
+        o = attn.decode(geom, cache, layer, q, k, v, m, spec.sm_scale,
+                        pt_l, lens_l)
         kv_out = (k, v)
 
     # Row-parallel output projection: partial products reduced over the tp
@@ -338,9 +342,22 @@ def forward(
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
     residual = jnp.zeros_like(x)
 
+    if is_prefill:
+        pt_sel = lens_sel = None
+    else:
+        # Hoist the slot gathers out of the layer scan: ONE gather over all
+        # layers, sliced per scan step (per-layer gathers around the decode
+        # kernel cost ~0.9 ms/layer in XLA ops on v5e).
+        pt_sel = cache.page_table[:, meta.slots]  # [L, Bd, H, maxp]
+        lens_sel = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
+
     def layer_fn(carry, xs):
         x, residual, cache = carry
-        lp, layer = xs
+        if is_prefill:
+            lp, layer = xs
+            pt_l = lens_l = None
+        else:
+            lp, layer, pt_l, lens_l = xs
         normed, residual = rms_norm_fused_add(
             x, residual, lp["input_norm"], spec.rms_norm_eps
         )
@@ -348,6 +365,7 @@ def forward(
             spec, geom, lp, layer, cache, normed, meta.positions,
             is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
             max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
+            pt_l=pt_l, lens_l=lens_l,
         )
         normed, residual = rms_norm_fused_add(
             attn_out, residual, lp["post_norm"], spec.rms_norm_eps
@@ -356,8 +374,11 @@ def forward(
         return (x, residual, cache), kv
 
     layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    xs = (params["layers"], layer_ids) if is_prefill else (
+        params["layers"], layer_ids, pt_sel, lens_sel
+    )
     (x, residual, cache), kv_all = jax.lax.scan(
-        layer_fn, (x, residual, cache), (params["layers"], layer_ids)
+        layer_fn, (x, residual, cache), xs
     )
     if not is_prefill:
         k_all, v_all = kv_all  # [L, Bd, H, D]

@@ -30,17 +30,23 @@ def gather_cache_dense(
     layer,
     slots: jax.Array,  # [Bp]
     max_len: int,
+    pt_l: jax.Array | None = None,  # [Bp, H, maxp] pre-sliced rows
+    lens_l: jax.Array | None = None,  # [Bp, H]
 ):
     """Materialize cache slices [Bp, H, max_len, D] via page-table gather."""
-    pt_l = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
-    lens_l = jax.lax.dynamic_index_in_dim(state.bh_lens, layer, 0, keepdims=False)
-    lens = lens_l[slots]  # [Bp, H]
+    if pt_l is None:
+        pt_full = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
+        pt_l = pt_full[slots]
+    if lens_l is None:
+        lens_full = jax.lax.dynamic_index_in_dim(state.bh_lens, layer, 0, keepdims=False)
+        lens_l = lens_full[slots]
+    lens = lens_l  # [Bp, H]
     H = geom.num_kv_heads
     pos = jnp.arange(max_len, dtype=jnp.int32)  # [max_len]
     page_col = pos // geom.page_size
     offset = pos % geom.page_size
     heads = jnp.arange(H, dtype=jnp.int32)
-    page_id = pt_l[slots[:, None, None], heads[None, :, None], page_col[None, None, :]]
+    page_id = pt_l[jnp.arange(pt_l.shape[0])[:, None, None], heads[None, :, None], page_col[None, None, :]]
     base = layer * geom.rows_per_layer
     rows = base + page_id * geom.page_size + offset[None, None, :]
     valid = pos[None, None, :] < lens[:, :, None]
@@ -171,12 +177,16 @@ def ref_decode_attention(
     sm_scale: float,
     k_new: jax.Array | None = None,  # [Bd, H, D] this step's key (self)
     v_new: jax.Array | None = None,
+    pt_l: jax.Array | None = None,
+    lens_l: jax.Array | None = None,
 ) -> jax.Array:
     """Oracle decode attention over the cached per-head prefix plus (when
     given) the step's own K/V merged in-register — the cache append is
     deferred and batched (see store_decode_all_layers)."""
     Bd, HQ, D = q.shape
-    k_c, v_c, lens = gather_cache_dense(geom, state, layer, slots, max_cache_len)
+    k_c, v_c, lens = gather_cache_dense(
+        geom, state, layer, slots, max_cache_len, pt_l, lens_l
+    )
     H = k_c.shape[1]
     G = HQ // H
     qf = q.astype(jnp.float32).reshape(Bd, H, G, D)
