@@ -125,16 +125,32 @@ def load_params(
             elif esub == "down_proj.weight":
                 layers["down_proj"][i, e] = w.T
 
+    seen_layers: set[tuple[int, str]] = set()
+
     for name, t in tensors:
         w = _to_numpy(t)
         if (m := _LAYER_RE.match(name)) is not None:
             assign_layer(int(m.group(1)), m.group(2), w)
+            seen_layers.add((int(m.group(1)), m.group(2).split(".")[0]))
         elif name == "model.embed_tokens.weight":
             top["embed"] = w
         elif name == "model.norm.weight":
             top["final_norm"] = w
         elif name == "lm_head.weight":
             top["lm_head"] = w.T
+
+    # A missing tensor would otherwise silently stay zero-initialized.
+    for req in ("embed", "final_norm"):
+        if req not in top:
+            raise ValueError(f"checkpoint missing model.{req} weight")
+    missing = [
+        (i, part)
+        for i in range(L)
+        for part in ("self_attn", "mlp", "input_layernorm", "post_attention_layernorm")
+        if (i, part) not in seen_layers
+    ]
+    if missing:
+        raise ValueError(f"checkpoint missing layer weights: {missing[:8]}...")
 
     params = {
         "embed": top["embed"],
