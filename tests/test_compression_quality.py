@@ -79,8 +79,10 @@ def test_snapkv_prefers_attended_keys_and_window():
         # so the two hot neighborhoods own the top ranks.
         hot_zone = set(range(5, 10)) | set(range(20, 25))
         assert set(order[:10]) <= hot_zone, order[:10]
-    # Window keys are +inf (always retained).
-    assert np.isinf(scores[T - W :]).all() and (scores[T - W :] > 0).all()
+    # Window keys carry the +inf sentinel (POS_INF) — always retained.
+    from compactor_vllm_tpu.compression.compactor import POS_INF
+
+    assert (scores[T - W :] >= POS_INF).all()
 
 
 def test_protected_tokens_always_selected():
