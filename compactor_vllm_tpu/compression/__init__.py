@@ -28,7 +28,7 @@ and select it with `BatchCompressionParams(compression_method="my_method")`
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Protocol
+from typing import Callable
 
 import jax
 

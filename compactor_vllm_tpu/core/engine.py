@@ -24,7 +24,7 @@ from compactor_vllm_tpu.config import (
 )
 from compactor_vllm_tpu.core.runner import ModelRunner
 from compactor_vllm_tpu.models import spec_from_hf_config
-from compactor_vllm_tpu.models.transformer import ModelSpec, init_params
+from compactor_vllm_tpu.models.transformer import ModelSpec
 from compactor_vllm_tpu.utils.sequence import Sequence
 from compactor_vllm_tpu.utils.weights import load_params
 

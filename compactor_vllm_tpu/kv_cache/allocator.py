@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from compactor_vllm_tpu.config import RESERVED_SLOT, cdiv
+from compactor_vllm_tpu.config import cdiv
 
 
 @dataclass

@@ -17,8 +17,8 @@ TPU-native design notes (vs reference models/llama3.py:28-281, qwen3.py:28-272):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, NamedTuple
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
