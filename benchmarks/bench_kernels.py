@@ -109,7 +109,8 @@ def bench_decode(ctx_len, batch):
         slots.append(alloc.slot_of_seq[i])
     slots = np.array(slots, np.int32)
     pt = alloc.page_table[0][slots]
-    contig = np.stack([alloc.contig_groups(s, 8) for s in slots]).astype(np.int32)
+    import compactor_vllm_tpu.ops.pallas_attention as _pa
+    contig = np.stack([alloc.contig_groups(s, _pa.DECODE_GROUP) for s in slots]).astype(np.int32)
     lens = np.full((batch, H), ctx_len, np.int32)
     rng = np.random.default_rng(1)
 

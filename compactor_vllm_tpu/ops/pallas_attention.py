@@ -334,7 +334,7 @@ def paged_prefill_attention(
 # ------------------------------------------------------------------ decode
 
 
-DECODE_GROUP = 8  # pages fetched + reduced per flash step
+DECODE_GROUP = 16  # pages fetched + reduced per flash step (one dot per 1024-token superchunk)
 
 
 def _decode_kernel(
