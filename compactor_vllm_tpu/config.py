@@ -46,10 +46,16 @@ class CompressionMethod(enum.Enum):
     SNAPKV = "snapkv"
 
 
+def method_name(method) -> str:
+    """Canonical registry name of a compression method (enum member or
+    registered string name)."""
+    return method.value if isinstance(method, CompressionMethod) else method
+
+
 def is_none_method(method) -> bool:
     """True when `method` (enum member or registered name) disables
     compression."""
-    return method in (CompressionMethod.NONE, CompressionMethod.NONE.value)
+    return method_name(method) == CompressionMethod.NONE.value
 
 
 @dataclass(frozen=True)
@@ -97,7 +103,7 @@ class BatchCompressionParams:
     chunk_size: int = 512
 
     def __post_init__(self):
-        if self.compression_method == CompressionMethod.SNAPKV:
+        if method_name(self.compression_method) == CompressionMethod.SNAPKV.value:
             object.__setattr__(self, "do_chunked_compression", False)
         assert self.chunk_size > 0
 

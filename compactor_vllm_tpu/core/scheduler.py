@@ -9,6 +9,7 @@ pages mid-flight; compression later returns the surplus via shrink.
 from __future__ import annotations
 
 from collections import deque
+from dataclasses import replace
 
 from compactor_vllm_tpu.config import LLMConfig
 from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
@@ -26,9 +27,18 @@ class Scheduler:
 
     def add(self, seqs: list[Sequence]) -> None:
         for s in seqs:
-            assert s.num_prompt_tokens <= self.cfg.max_model_len, (
-                f"prompt of {s.num_prompt_tokens} tokens exceeds max_model_len"
+            assert s.num_prompt_tokens < self.cfg.max_model_len, (
+                f"prompt of {s.num_prompt_tokens} tokens leaves no room for "
+                f"generation under max_model_len={self.cfg.max_model_len}"
             )
+            # Clamp generation so prompt + completions never exceeds
+            # max_model_len: page reservations cover exactly that span, and
+            # the fused decode loop's in-device `remaining` mask inherits the
+            # clamped value — without this, bh_lens would grow past the
+            # reserved pages (decode store would overwrite live KV).
+            cap = self.cfg.max_model_len - s.num_prompt_tokens
+            if s.sampling_params.max_new_tokens > cap:
+                s.sampling_params = replace(s.sampling_params, max_new_tokens=cap)
             self.waiting.append(s)
         self.total += len(seqs)
 

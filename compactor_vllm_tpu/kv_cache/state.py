@@ -106,18 +106,17 @@ def _cache_rows(
     positions: jax.Array,  # [...] token position within the head's stream
     valid: jax.Array,  # [...] bool
 ) -> jax.Array:
-    """Map (slot, head, position) to flat cache row ids; invalid -> trash rows.
-
-    The trash region is a full page at the end of the cache, so every lane of a
-    padded vector store still lands in-bounds without read-modify-write hazards.
-    """
-    page_col = positions // geom.page_size
+    """Map (slot, head, position) to flat cache row ids; invalid lanes map to
+    an out-of-bounds row so `mode="drop"` scatters skip them entirely — every
+    index actually written is then unique, which keeps the
+    `unique_indices=True` hint honest (duplicated in-bounds targets would be
+    undefined behavior)."""
+    page_col = jnp.minimum(positions // geom.page_size, page_table_l.shape[-1] - 1)
     offset = positions % geom.page_size
     page_id = page_table_l[slots, heads, page_col]
     base = layer * geom.rows_per_layer
     rows = base + page_id * geom.page_size + offset
-    trash = geom.num_rows + offset
-    return jnp.where(valid, rows, trash)
+    return jnp.where(valid, rows, geom.total_rows)
 
 
 def store_prefill_full(
@@ -151,11 +150,15 @@ def store_prefill_full(
         token_valid[:, None],
     )
     rows = rows.reshape(T * H)
-    # unique_indices: every (token, head) lands on its own cache row; the only
-    # duplicates are invalid lanes on the trash page, whose content is
-    # garbage by design. Without the hint XLA serializes the scatter.
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(T * H, D), unique_indices=True)
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(T * H, D), unique_indices=True)
+    # unique_indices: every (token, head) lands on its own cache row; invalid
+    # lanes carry OOB rows that mode="drop" skips, so written indices really
+    # are unique. Without the hint XLA serializes the scatter.
+    k_pages = state.k_pages.at[rows].set(
+        k_new.reshape(T * H, D), unique_indices=True, mode="drop"
+    )
+    v_pages = state.v_pages.at[rows].set(
+        v_new.reshape(T * H, D), unique_indices=True, mode="drop"
+    )
 
     new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
@@ -218,9 +221,9 @@ def store_prefill_topk(
     k_sel = k_new.reshape(T * H, D)[src]
     v_sel = v_new.reshape(T * H, D)[src]
 
-    # unique_indices: see store_prefill_full (trash-page duplicates only).
-    k_pages = state.k_pages.at[rows].set(k_sel, unique_indices=True)
-    v_pages = state.v_pages.at[rows].set(v_sel, unique_indices=True)
+    # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
+    k_pages = state.k_pages.at[rows].set(k_sel, unique_indices=True, mode="drop")
+    v_pages = state.v_pages.at[rows].set(v_sel, unique_indices=True, mode="drop")
 
     retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
     new_lens = cached_lens + retained
@@ -247,16 +250,19 @@ def store_decode_all_layers(
     heads = jnp.arange(H, dtype=jnp.int32)[None, None, :]
     cur = state.bh_lens[:, slots]  # [L, Bd, H] per-layer lengths differ
     pt = state.page_table[:, slots]  # [L, Bd, H, maxp]
-    page_col = cur // geom.page_size
+    page_col = jnp.minimum(cur // geom.page_size, pt.shape[-1] - 1)
     page_id = jnp.take_along_axis(pt, page_col[..., None], axis=3)[..., 0]
     rows = layers * geom.rows_per_layer + page_id * geom.page_size + (
         cur % geom.page_size
     )
-    trash = geom.num_rows + (cur % geom.page_size)
-    rows = jnp.where(valid[None, :, None], rows, trash).reshape(-1)
-    # unique_indices: see store_prefill_full (trash-page duplicates only).
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(-1, D), unique_indices=True)
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(-1, D), unique_indices=True)
+    rows = jnp.where(valid[None, :, None], rows, geom.total_rows).reshape(-1)
+    # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
+    k_pages = state.k_pages.at[rows].set(
+        k_new.reshape(-1, D), unique_indices=True, mode="drop"
+    )
+    v_pages = state.v_pages.at[rows].set(
+        v_new.reshape(-1, D), unique_indices=True, mode="drop"
+    )
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
     safe_slots = jnp.where(valid, slots, B)
@@ -285,8 +291,12 @@ def store_decode(
     rows = _cache_rows(
         geom, layer, pt_l, slots[:, None], heads, cur, valid[:, None]
     ).reshape(Bd * H)
-    k_pages = state.k_pages.at[rows].set(k_new.reshape(Bd * H, D), unique_indices=True)
-    v_pages = state.v_pages.at[rows].set(v_new.reshape(Bd * H, D), unique_indices=True)
+    k_pages = state.k_pages.at[rows].set(
+        k_new.reshape(Bd * H, D), unique_indices=True, mode="drop"
+    )
+    v_pages = state.v_pages.at[rows].set(
+        v_new.reshape(Bd * H, D), unique_indices=True, mode="drop"
+    )
     bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
     return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
 

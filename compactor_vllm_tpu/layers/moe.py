@@ -55,6 +55,10 @@ def moe_block(spec, lp: dict, x: jax.Array, tp_axis: str | None = None) -> jax.A
     w = topv.reshape(-1)[order].astype(jnp.float32)
     if tp_axis:
         w = jnp.where(sorted_expert < E_local, w, 0.0)
+        # Rows past the covered group prefix are unspecified under ragged_dot
+        # (sum(group_sizes) < N*K when foreign pairs exist); zero them so a
+        # backend that leaves them NaN cannot poison the weighted combine.
+        ys = jnp.where((sorted_expert < E_local)[:, None], ys, 0.0)
     out = jnp.zeros((N, Hd), jnp.float32).at[sorted_token].add(
         ys.astype(jnp.float32) * w[:, None]
     )
