@@ -90,7 +90,10 @@ def bench_prefill(q_len, batch):
     return dt, flops / dt / 1e12
 
 
-def bench_decode(ctx_len, batch):
+def bench_decode(ctx_len, batch, group_pages=None):
+    import compactor_vllm_tpu.ops.pallas_attention as _pa0
+
+    group_pages = group_pages or _pa0.DECODE_GROUP
     geom = KVCacheGeometry(
         num_layers=1, num_pages=batch * H * (ctx_len // PAGE + 2) + 64,
         page_size=PAGE, num_kv_heads=H, head_dim=D, num_slots=batch + 1,
@@ -109,8 +112,7 @@ def bench_decode(ctx_len, batch):
         slots.append(alloc.slot_of_seq[i])
     slots = np.array(slots, np.int32)
     pt = alloc.page_table[0][slots]
-    import compactor_vllm_tpu.ops.pallas_attention as _pa
-    contig = np.stack([alloc.contig_groups(s, _pa.DECODE_GROUP) for s in slots]).astype(np.int32)
+    contig = np.stack([alloc.contig_groups(s, group_pages) for s in slots]).astype(np.int32)
     lens = np.full((batch, H), ctx_len, np.int32)
     rng = np.random.default_rng(1)
 
@@ -120,7 +122,7 @@ def bench_decode(ctx_len, batch):
             o = paged_decode_attention(
                 q, kn, vn, cache.k_pages, cache.v_pages, jnp.asarray(pt),
                 jnp.asarray(lens), base, jnp.asarray(contig),
-                sm_scale=D**-0.5, page_size=PAGE,
+                sm_scale=D**-0.5, page_size=PAGE, group_pages=group_pages,
             )
             return c + o.astype(jnp.float32).sum(), None
         tot, _ = jax.lax.scan(body, 0.0, bases)
@@ -148,11 +150,15 @@ def main():
         log(f"{q_len:>14} {batch:>6} {dt*1e3:>9.2f} {tf:>7.1f}")
         results["prefill"][f"q{q_len}_b{batch}"] = {"ms": dt * 1e3, "tflops": tf}
 
-    log(f"{'decode ctx':>14} {'batch':>6} {'ms/layer':>9} {'GB/s':>7}")
-    for ctx, batch in [(1024, 16), (2048, 16), (4096, 16), (2048, 64)]:
-        dt, bw = bench_decode(ctx, batch)
-        log(f"{ctx:>14} {batch:>6} {dt*1e3:>9.3f} {bw:>7.0f}")
-        results["decode"][f"ctx{ctx}_b{batch}"] = {"ms": dt * 1e3, "gbps": bw}
+    log(f"{'decode ctx':>14} {'batch':>6} {'GP':>4} {'ms/layer':>9} {'GB/s':>7}")
+    import sys as _sys
+
+    gps = [int(g) for g in _sys.argv[1:]] or [None]
+    for gp in gps:
+        for ctx, batch in [(1024, 16), (2048, 16), (4096, 16), (2048, 64)]:
+            dt, bw = bench_decode(ctx, batch, group_pages=gp)
+            log(f"{ctx:>14} {batch:>6} {gp or 0:>4} {dt*1e3:>9.3f} {bw:>7.0f}")
+            results["decode"][f"ctx{ctx}_b{batch}_gp{gp}"] = {"ms": dt * 1e3, "gbps": bw}
 
     print(json.dumps(results))
 

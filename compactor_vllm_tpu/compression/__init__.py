@@ -56,16 +56,25 @@ __all__ = [
 class ScoringMethod:
     """A KV-compression scoring method.
 
-    score(q, k_prerope, k_postrope, meta, comp, *, t_pad, b_pad) -> [T, H]
+    score(q, k_prerope, k_postrope, meta, comp, *, t_pad, b_pad,
+          postrope_colmass=None) -> [T, H]
     runs inside the jitted prefill step; it must be pure jnp/Pallas with
     static shapes. `meta` is the PrefillMeta batch descriptor and `comp` the
     CompressionStatic trace-time config.
+
+    `wants_postrope_colmass`: when True AND the attention backend supports
+    fused chunk scoring (Pallas prefill kernel), the engine passes the raw
+    per-(token, head) 128-chunk non-causal column mass it computed for free
+    during attention; score() must then skip its own postrope pass. When the
+    backend cannot fuse, postrope_colmass is None and score() computes it.
     """
 
     score: Callable[..., jax.Array]
+    wants_postrope_colmass: bool = False
 
 
-def _compactor_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad):
+def _compactor_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                     postrope_colmass=None):
     chunk = comp.chunk_size if comp.chunked else t_pad
     return compactor_scores(
         q, k_pre, k_post, meta.phi, meta.seq_lens,
@@ -73,10 +82,12 @@ def _compactor_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad):
         meta.protected_first, meta.protected_last,
         score_chunk_size=chunk, t_pad=t_pad, b_pad=b_pad,
         aligned=comp.aligned and comp.chunked,
+        postrope_colmass=postrope_colmass,
     )
 
 
-def _snapkv_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad):
+def _snapkv_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
     return snapkv_scores(
         q, k_post, meta.seq_starts, meta.seq_lens, meta.token_seq_idx,
         meta.token_in_pos, meta.token_valid, meta.protected_first,
@@ -85,7 +96,9 @@ def _snapkv_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad):
 
 
 COMPRESSION_REGISTRY: dict[str, ScoringMethod] = {
-    CompressionMethod.COMPACTOR.value: ScoringMethod(score=_compactor_score),
+    CompressionMethod.COMPACTOR.value: ScoringMethod(
+        score=_compactor_score, wants_postrope_colmass=True
+    ),
     CompressionMethod.SNAPKV.value: ScoringMethod(score=_snapkv_score),
 }
 

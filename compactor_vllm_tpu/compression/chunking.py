@@ -118,6 +118,60 @@ def chunk_row_mask(meta: ChunkMeta, chunk_size: int) -> jax.Array:
     )
 
 
+def zscore_aligned(
+    scores: jax.Array,  # [T, H], T a multiple of chunk_size
+    token_seq_idx: jax.Array | None,  # [T]; only needed for per="seq"
+    token_valid: jax.Array,  # [T]
+    chunk_size: int,
+    per: str,  # "chunk" | "seq"
+    num_seqs: int = 0,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Z-score over (tokens x heads) per chunk or per sequence for
+    chunk-ALIGNED packing (sequences start at chunk multiples, so chunks
+    never span sequences).
+
+    Replaces `segment_zscore`'s segment_sum on the hot path: XLA lowers
+    segment_sum to a row scatter-add that serializes on TPU (~175 ns/row,
+    NOTES.md); here chunk partials are plain reshape reductions and the
+    chunk->sequence reduction is a tiny one-hot matmul.
+    """
+    T, H = scores.shape
+    assert T % chunk_size == 0
+    NC = T // chunk_size
+    sf = scores.astype(jnp.float32)
+    v = token_valid.astype(jnp.float32)[:, None]
+    sv = (sf * v).reshape(NC, chunk_size * H)
+    ps = sv.sum(axis=1)  # [NC]
+    pq = (sf * sf * v).reshape(NC, chunk_size * H).sum(axis=1)
+    pc = v.reshape(NC, chunk_size).sum(axis=1) * H
+
+    if per == "chunk":
+        cnt = jnp.maximum(pc, 1.0)
+        mean = ps / cnt
+        var = jnp.maximum(pq / cnt - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        out = (sf.reshape(NC, chunk_size, H) - mean[:, None, None]) * inv[:, None, None]
+        return out.reshape(T, H)
+
+    # per == "seq": chunk partials -> per-sequence stats via one-hot matmul.
+    vm = token_valid.reshape(NC, chunk_size)
+    sid = jnp.where(vm, token_seq_idx.reshape(NC, chunk_size), 0)
+    chunk_seq = jnp.max(sid, axis=1)  # [NC] owning sequence (0 if empty)
+    live = vm.any(axis=1)
+    onehot = (
+        (chunk_seq[:, None] == jnp.arange(num_seqs, dtype=chunk_seq.dtype)[None, :])
+        & live[:, None]
+    ).astype(jnp.float32)  # [NC, B]
+    sums = onehot.T @ ps
+    sqs = onehot.T @ pq
+    cnt = jnp.maximum(onehot.T @ pc, 1.0)
+    mean = sums / cnt  # [B]
+    var = jnp.maximum(sqs / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return (sf - mean[token_seq_idx][:, None]) * inv[token_seq_idx][:, None]
+
+
 def segment_zscore(
     scores: jax.Array,  # [T, H]
     seg_ids: jax.Array,  # [T] segment id per token (invalid -> num_segments)

@@ -30,6 +30,7 @@ from compactor_vllm_tpu.compression.chunking import (
     scatter_to_chunks,
     segment_zscore,
     static_num_chunks,
+    zscore_aligned,
 )
 
 POSTROPE_CHUNK = 128  # reference: CompactorCompression.chunk_size = 128
@@ -93,22 +94,24 @@ def approximate_leverage_scores(
     # that normalizes over each scoring chunk (compactor.py:215-221 grid).
     # (In aligned packing every row has a chunk id, so padding must be
     # excluded via token_valid; in the scatter path gcid==NC marks it.)
+    if aligned:
+        return zscore_aligned(scores, None, token_valid, chunk_size, "chunk")
     valid = token_valid if token_valid is not None else meta.gcid < meta.num_chunks
     return segment_zscore(scores, meta.gcid, valid, meta.num_chunks)
 
 
-def non_causal_chunk_attention_scores(
+def chunk_colmass(
     q: jax.Array,  # [T, HQ, D] post-RoPE
     k: jax.Array,  # [T, H, D] post-RoPE
     meta: ChunkMeta,  # built with POSTROPE_CHUNK
-    token_seq_idx: jax.Array,  # [T]
-    token_valid: jax.Array,  # [T]
-    num_seqs: int,
     chunk_size: int = POSTROPE_CHUNK,
     sm_scale: float = 1.0,
     aligned: bool = False,
-) -> jax.Array:  # [T, H] z-scored per sequence
-    """Column attention mass of each key within its chunk, non-causal.
+) -> jax.Array:  # [T, H] raw column mass
+    """Column attention mass of each key within its chunk, non-causal — the
+    jnp oracle for the fused in-kernel scoring (paged_prefill_attention with
+    score_chunks=True computes the identical quantity for free off the key
+    tiles it already streams).
 
     Padded query rows contribute a uniform 1/chunk_size to every key so that
     shorter chunks preserve total attention mass (reference quirk at
@@ -137,9 +140,28 @@ def non_causal_chunk_attention_scores(
     p = jnp.where(qmask, p, 1.0 / chunk_size)
     p = jnp.where(kmask, p, 0.0)
     colmass = p.sum(axis=(2, 3))  # [NC, H, C_k]
-    scores = gather_from_chunks(
+    return gather_from_chunks(
         jnp.einsum("nhk->nkh", colmass), meta, aligned
     )  # [T, H]
+
+
+def non_causal_chunk_attention_scores(
+    q: jax.Array,  # [T, HQ, D] post-RoPE
+    k: jax.Array,  # [T, H, D] post-RoPE
+    meta: ChunkMeta,  # built with POSTROPE_CHUNK
+    token_seq_idx: jax.Array,  # [T]
+    token_valid: jax.Array,  # [T]
+    num_seqs: int,
+    chunk_size: int = POSTROPE_CHUNK,
+    sm_scale: float = 1.0,
+    aligned: bool = False,
+) -> jax.Array:  # [T, H] z-scored per sequence
+    scores = chunk_colmass(q, k, meta, chunk_size, sm_scale, aligned)
+    if aligned:
+        return zscore_aligned(
+            scores, token_seq_idx, token_valid, chunk_size, "seq",
+            num_seqs=num_seqs,
+        )
     return segment_zscore(scores, token_seq_idx, token_valid, num_seqs)
 
 
@@ -158,14 +180,17 @@ def compactor_scores(
     t_pad: int,
     b_pad: int,
     aligned: bool = False,  # sequence starts are chunk-aligned in the packing
+    postrope_colmass: jax.Array | None = None,  # [T, H] from the fused kernel
 ) -> jax.Array:
-    """Full Compactor scoring pipeline -> [T, H] selection scores."""
+    """Full Compactor scoring pipeline -> [T, H] selection scores.
+
+    When `postrope_colmass` is given (computed for free inside the Pallas
+    prefill attention kernel), the dense postrope chunk attention is skipped
+    and only the per-sequence z-score is applied to it.
+    """
     if aligned:
         meta_pre = make_chunk_meta_aligned(
             token_seq_idx, token_valid, score_chunk_size
-        )
-        meta_post = make_chunk_meta_aligned(
-            token_seq_idx, token_valid, POSTROPE_CHUNK
         )
     else:
         nc_pre = static_num_chunks(t_pad, b_pad, score_chunk_size)
@@ -173,24 +198,40 @@ def compactor_scores(
             seq_lens, token_seq_idx, token_in_pos, token_valid,
             score_chunk_size, nc_pre,
         )
-        nc_post = static_num_chunks(t_pad, b_pad, POSTROPE_CHUNK)
-        meta_post = make_chunk_meta(
-            seq_lens, token_seq_idx, token_in_pos, token_valid,
-            POSTROPE_CHUNK, nc_post,
-        )
     pre = approximate_leverage_scores(
         k_prerope, phi, meta_pre, score_chunk_size,
         aligned=aligned, token_valid=token_valid,
     )
-    post = non_causal_chunk_attention_scores(
-        q_postrope,
-        k_postrope,
-        meta_post,
-        token_seq_idx,
-        token_valid,
-        num_seqs=seq_lens.shape[0],
-        aligned=aligned,
-    )
+    if postrope_colmass is not None:
+        if aligned:
+            post = zscore_aligned(
+                postrope_colmass, token_seq_idx, token_valid, POSTROPE_CHUNK,
+                "seq", num_seqs=seq_lens.shape[0],
+            )
+        else:
+            post = segment_zscore(
+                postrope_colmass, token_seq_idx, token_valid, seq_lens.shape[0]
+            )
+    else:
+        if aligned:
+            meta_post = make_chunk_meta_aligned(
+                token_seq_idx, token_valid, POSTROPE_CHUNK
+            )
+        else:
+            nc_post = static_num_chunks(t_pad, b_pad, POSTROPE_CHUNK)
+            meta_post = make_chunk_meta(
+                seq_lens, token_seq_idx, token_in_pos, token_valid,
+                POSTROPE_CHUNK, nc_post,
+            )
+        post = non_causal_chunk_attention_scores(
+            q_postrope,
+            k_postrope,
+            meta_post,
+            token_seq_idx,
+            token_valid,
+            num_seqs=seq_lens.shape[0],
+            aligned=aligned,
+        )
     scores = post + PRE_POST_BLEND * pre
     return apply_protection(
         scores, seq_lens, token_seq_idx, token_in_pos, token_valid,

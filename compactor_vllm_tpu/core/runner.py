@@ -33,6 +33,7 @@ from compactor_vllm_tpu.config import (
     LLMConfig,
     cdiv,
     is_none_method,
+    method_name,
 )
 from compactor_vllm_tpu.core.scheduler import Scheduler
 from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
@@ -138,7 +139,26 @@ class ModelRunner:
         self.mesh = mesh
         # Per-device shard of the model (heads/experts/vocab divided by tp).
         self.lspec = local_spec(spec, self.tp)
-        num_pages = cfg.num_kv_pages or self._derive_num_pages(cache_dtype)
+        self._cache_dtype = cache_dtype
+        # Attention backend is chosen before the pool derivation so the
+        # measured-memory probe compiles the production kernels.
+        if attention_impl is None:
+            if cfg.attention_backend == AttentionBackend.PALLAS:
+                from compactor_vllm_tpu.ops.pallas_attention import (
+                    pallas_attention_impl,
+                )
+
+                attention_impl = pallas_attention_impl(
+                    interpret=jax.default_backend() != "tpu"
+                )
+            else:
+                max_cache = cfg.max_pages_per_head * cfg.kvcache_page_size
+                attention_impl = reference_attention_impl(0, max_cache)
+        self.attn = attention_impl
+        self._fn_cache: dict = {}
+        num_pages = cfg.num_kv_pages or self._derive_num_pages(
+            cache_dtype, params
+        )
         # Geometry is shard-local: each tp device owns its kv-head shard and
         # its own page pool (reference analog: each rank's private cache,
         # core/memory_manager.py:29-31).
@@ -168,20 +188,6 @@ class ModelRunner:
         )
         self.scheduler = Scheduler(cfg, self.alloc)
         self.phi = make_phi(spec.head_dim, cfg.leverage_sketch_size)
-        if attention_impl is None:
-            if cfg.attention_backend == AttentionBackend.PALLAS:
-                from compactor_vllm_tpu.ops.pallas_attention import (
-                    pallas_attention_impl,
-                )
-
-                attention_impl = pallas_attention_impl(
-                    interpret=jax.default_backend() != "tpu"
-                )
-            else:
-                max_cache = self.geom.max_pages_per_head * self.geom.page_size
-                attention_impl = reference_attention_impl(0, max_cache)
-        self.attn = attention_impl
-        self._fn_cache: dict = {}
         self._base_key = jax.random.PRNGKey(cfg.seed)
         self._step = 0
 
@@ -210,46 +216,189 @@ class ModelRunner:
 
     # -------------------------------------------------------------- geometry
 
-    def _derive_num_pages(self, cache_dtype) -> int:
-        """Derive the page-pool size from free HBM (reference:
-        core/memory_manager.py:92-126). Falls back to a small pool on CPU."""
-        try:
-            stats = jax.devices()[0].memory_stats()
-            limit = int(stats["bytes_limit"] * self.cfg.hbm_utilization)
-            in_use = int(stats.get("bytes_in_use", 0))
-            budget = limit - in_use
-        except Exception:
+    # Total HBM per chip by device kind, used when the platform does not
+    # report memory_stats (the axon relay returns None, NOTES.md). Ordered:
+    # first substring match wins.
+    _HBM_BY_KIND = (
+        ("v5 lite", 16), ("v5e", 16), ("v5p", 95), ("v5", 95),
+        ("v6 lite", 32), ("v6e", 32), ("v4", 32), ("v3", 16), ("v2", 8),
+    )
+
+    def _derive_num_pages(self, cache_dtype, params) -> int:
+        """Derive the page-pool size from HBM minus params and the measured
+        activation watermark (reference: core/memory_manager.py:92-161 runs a
+        warmup forward and reads the peak; under XLA activations are allocated
+        *statically*, so we AOT-compile the largest prefill bucket and read
+        `memory_analysis().temp_size_in_bytes` — exact, with no execution).
+        Falls back to an analytic activation model when compilation analysis
+        is unavailable (CPU tests, sharded meshes)."""
+        if jax.default_backend() != "tpu":
             return 4096  # CPU/test fallback
+        dev = jax.devices()[0]
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            stats = {}
+        limit = stats.get("bytes_limit")
+        in_use = int(stats.get("bytes_in_use", 0))
+        if limit is None:
+            kind = getattr(dev, "device_kind", "").lower()
+            for sub, gib in self._HBM_BY_KIND:
+                if sub in kind:
+                    limit = gib << 30
+                    break
+        if limit is None:
+            return 4096  # CPU/test fallback
+        budget = int(limit * self.cfg.hbm_utilization)
+        param_bytes = sum(
+            x.size * jnp.dtype(x.dtype).itemsize for x in jax.tree.leaves(params)
+        )
+        # bytes_in_use already covers params committed to the device; when
+        # params are still host-side (or stats are absent) reserve them here.
+        reserved = max(in_use, param_bytes) if in_use else param_bytes
         probe = KVCacheGeometry(
-            num_layers=self.spec.num_layers,
+            num_layers=self.lspec.num_layers,
             num_pages=1,
             page_size=self.cfg.kvcache_page_size,
-            num_kv_heads=self.spec.num_kv_heads,
-            head_dim=self.spec.head_dim,
+            num_kv_heads=self.lspec.num_kv_heads,
+            head_dim=self.lspec.head_dim,
             num_slots=self.cfg.max_num_seqs + 1,
             max_pages_per_head=self.cfg.max_pages_per_head,
         )
         fixed = kv_cache_hbm_bytes(probe, cache_dtype)
         per_page = (
             2
-            * self.spec.num_layers
+            * self.lspec.num_layers
             * self.cfg.kvcache_page_size
-            * self.spec.head_dim
+            * self.lspec.head_dim
             * jnp.dtype(cache_dtype).itemsize
         )
-        # Reserve headroom for activations: ~2 bytes/token/hidden * depth fudge.
-        act = self.cfg.max_num_batched_tokens * self.spec.hidden_size * 64
-        n = max((budget - fixed - act) // per_page, 64)
+        act = self._measure_activation_bytes(cache_dtype, probe, params)
+        if act is None:
+            act = self._activation_model_bytes()
+            logger.info("activation watermark (analytic): %.2f GiB", act / 2**30)
+        else:
+            logger.info("activation watermark (measured): %.2f GiB", act / 2**30)
+        n = (budget - reserved - fixed - act) // per_page
+        if n < 64:
+            raise ValueError(
+                f"KV pool under-provisioned: {n} pages from {budget/2**30:.1f} "
+                f"GiB budget (params {param_bytes/2**30:.1f} GiB, activations "
+                f"{act/2**30:.1f} GiB); lower max_num_batched_tokens or raise "
+                "hbm_utilization"
+            )
         logger.info("derived KV pool: %d pages/(layer,shard)", n)
         return int(n)
+
+    def _measure_activation_bytes(self, cache_dtype, probe, params):
+        """AOT-compile the largest prefill bucket against a 1-page probe cache
+        and return XLA's statically allocated temp size (the true activation
+        watermark; pool size does not change temps). Returns None when the
+        backend cannot compile-and-analyze (CPU interpret mode, tp meshes)."""
+        if self.mesh is not None or jax.default_backend() != "tpu":
+            return None
+        t_pad = self.cfg.prefill_token_buckets[-1]
+        from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
+
+        t_pad = cdiv(t_pad + TOKEN_SLACK, 512) * 512
+        b_pad = _pow2_bucket(min(self.cfg.max_num_seqs, 8), 4)
+        H = self.lspec.num_kv_heads
+        # Worst-case compression shapes: full-ratio retain budget at the
+        # longest admissible prompt.
+        comp = CompressionStatic(
+            method=CompressionMethod.COMPACTOR,
+            chunked=True,
+            chunk_size=512,
+            topk_static=_pow2_bucket(self.cfg.max_model_len * H, 16),
+            aligned=True,
+            fused_postrope=self.attn.prefill_scored is not None,
+            max_seq_static=_pow2_bucket(self.cfg.max_model_len, 512),
+        )
+        sds = jax.ShapeDtypeStruct
+        i32, f32, b1 = jnp.int32, jnp.float32, jnp.bool_
+        meta = PrefillMeta(
+            input_ids=sds((t_pad,), i32), positions=sds((t_pad,), i32),
+            token_seq_idx=sds((t_pad,), i32), token_in_pos=sds((t_pad,), i32),
+            token_valid=sds((t_pad,), b1), seq_starts=sds((b_pad,), i32),
+            seq_lens=sds((b_pad,), i32), slots=sds((b_pad,), i32),
+            seq_valid=sds((b_pad,), b1), retain=sds((b_pad,), i32),
+            protected_first=sds((b_pad,), i32), protected_last=sds((b_pad,), i32),
+            phi=sds((self.lspec.head_dim, self.cfg.leverage_sketch_size), f32),
+        )
+        cache = KVCacheState(
+            k_pages=sds((probe.total_rows, probe.head_dim), cache_dtype),
+            v_pages=sds((probe.total_rows, probe.head_dim), cache_dtype),
+            page_table=sds(
+                (probe.num_layers, probe.num_slots, probe.num_kv_heads,
+                 probe.max_pages_per_head), i32),
+            bh_lens=sds((probe.num_layers, probe.num_slots, probe.num_kv_heads),
+                        i32),
+        )
+        pshapes = jax.tree.map(lambda x: sds(x.shape, x.dtype), params)
+        saved_geom = getattr(self, "geom", None)
+        self.geom = probe
+        try:
+            fn = self._prefill_fn(t_pad, b_pad, comp)
+            key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+            compiled = fn.lower(
+                pshapes, cache, meta, sds((b_pad,), f32), key
+            ).compile()
+            ma = compiled.memory_analysis()
+            temp = int(ma.temp_size_in_bytes)
+            logger.info(
+                "memory probe (t_pad=%d): temp %.2f GiB, out %.2f GiB",
+                t_pad, temp / 2**30, ma.output_size_in_bytes / 2**30,
+            )
+            return temp
+        except Exception as e:  # pragma: no cover - backend specific
+            logger.warning("activation measurement failed: %s", e)
+            return None
+        finally:
+            self._fn_cache.pop(("prefill", t_pad, b_pad, comp), None)
+            if saved_geom is None:
+                del self.geom
+            else:
+                self.geom = saved_geom
+
+    def _activation_model_bytes(self) -> int:
+        """Analytic activation watermark for the largest prefill bucket:
+        residual streams + qkv (pre/post-RoPE) + MLP intermediates in bf16,
+        f32 compression scoring buffers, plus logits and slack."""
+        s = self.lspec
+        t = self.cfg.max_num_batched_tokens
+        inter = s.moe_intermediate_size if s.is_moe else s.intermediate_size
+        per_token = (
+            2 * (6 * s.hidden_size + 3 * inter + 6 * s.q_size + 4 * s.kv_size)
+            + 4 * (2 * s.num_kv_heads * self.cfg.leverage_sketch_size
+                   + 6 * s.num_kv_heads)
+        )
+        logits = 4 * (self.cfg.max_num_seqs + 8) * s.vocab_size
+        return t * per_token + logits + (256 << 20)
 
     # -------------------------------------------------------- compiled steps
 
     def _comp_static(self, bp: BatchCompressionParams, seqs) -> CompressionStatic:
         if is_none_method(bp.compression_method):
             return CompressionStatic(method=CompressionMethod.NONE)
+        from compactor_vllm_tpu.compression import get_method
+        from compactor_vllm_tpu.ops.pallas_attention import _row_tile
+
         max_retain = max(
             s.effective_retain_budget(self.lspec.num_kv_heads) for s in seqs
+        )
+        # Bucketed bound on individual sequence length: the top-k gather
+        # width scales with this, not with the whole packed batch.
+        max_seq = _pow2_bucket(
+            max(s.num_prompt_tokens for s in seqs), 512
+        )
+        # Fused in-kernel postrope scoring requires chunk-aligned packing
+        # whose alignment also covers the (scoring-sized) query tile.
+        group = self.lspec.num_q_heads // self.lspec.num_kv_heads
+        fused = (
+            get_method(bp.compression_method).wants_postrope_colmass
+            and bp.do_chunked_compression
+            and self.attn.prefill_scored is not None
+            and self._start_align(bp) % _row_tile(group, True) == 0
         )
         return CompressionStatic(
             method=bp.compression_method,
@@ -257,23 +406,30 @@ class ModelRunner:
             chunk_size=bp.chunk_size,
             topk_static=_pow2_bucket(max_retain, 16),
             aligned=True,  # run_prefill aligns starts to _start_align(bp)
+            fused_postrope=fused,
+            max_seq_static=max_seq,
         )
 
     @staticmethod
     def _start_align(bp: BatchCompressionParams) -> int:
         """Packed-start alignment: 8 tokens for kernel DMA tiling, raised to
-        the scoring-chunk LCM so chunked compression can use reshape views."""
+        the scoring-chunk LCM so chunked compression can use reshape views.
+
+        Method names are canonicalized so registered string names behave
+        identically to enum members (the CompressionStatic built by
+        `_comp_static` sets aligned=True for every chunked method)."""
+        import math
+
         from compactor_vllm_tpu.compression.compactor import POSTROPE_CHUNK
 
-        if (
-            bp.compression_method == CompressionMethod.COMPACTOR
-            and bp.do_chunked_compression
-        ):
+        if is_none_method(bp.compression_method) or not bp.do_chunked_compression:
+            return 8
+        if method_name(bp.compression_method) == CompressionMethod.COMPACTOR.value:
             a, b = bp.chunk_size, POSTROPE_CHUNK
-            import math
-
             return a * b // math.gcd(a, b)
-        return 8
+        # Custom chunked methods: align starts to their chunk size so the
+        # aligned reshape views in chunking.py stay scatter-free.
+        return max(8, bp.chunk_size)
 
     def _shard_step(self, inner, meta_type):
         """Wrap a per-device step in shard_map over the (dp, tp) mesh.
@@ -348,7 +504,7 @@ class ModelRunner:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
             def loop(params, cache, meta: DecodeMeta, temps, remaining, eos, rng):
-                def step(carry, i):
+                def live_step(carry, i):
                     cache, ids, positions, remaining, alive = carry
                     dmeta = DecodeMeta(
                         input_ids=ids, positions=positions,
@@ -367,6 +523,18 @@ class ModelRunner:
                     remaining = remaining - alive.astype(jnp.int32)
                     alive = alive & (tokens != eos) & (remaining > 0)
                     return (cache, tokens, positions + 1, remaining, alive), tokens
+
+                def step(carry, i):
+                    # Early exit once every lane has terminated mid-chunk:
+                    # skip the whole forward (EOS-heavy workloads otherwise
+                    # pay for up to n_steps-1 dead iterations).
+                    alive = carry[4]
+                    return jax.lax.cond(
+                        jnp.any(alive),
+                        lambda c: live_step(c, i),
+                        lambda c: (c, jnp.full_like(c[1], -1)),
+                        carry,
+                    )
 
                 (cache, *_), toks = jax.lax.scan(
                     step,

@@ -55,16 +55,10 @@ def spec_from_qwen3(cfg) -> ModelSpec:
 
 
 def spec_from_qwen3_moe(cfg) -> ModelSpec:
-    """Qwen3-MoE (reference: models/qwen3_moe.py:34-378).
-
-    The decoder runs as one layer-stacked scan, so mixed dense/MoE layers
-    (decoder_sparse_step != 1 / mlp_only_layers) are not supported yet; all
-    released Qwen3-MoE checkpoints are uniformly MoE."""
-    if getattr(cfg, "mlp_only_layers", None) or getattr(cfg, "decoder_sparse_step", 1) != 1:
-        raise NotImplementedError(
-            "mixed dense/MoE layer stacks (mlp_only_layers/decoder_sparse_step) "
-            "are not supported"
-        )
+    """Qwen3-MoE (reference: models/qwen3_moe.py:34-378), including mixed
+    dense/MoE stacks (mlp_only_layers / decoder_sparse_step,
+    qwen3_moe.py:214-230): the decoder scans each contiguous same-kind layer
+    run separately."""
     return ModelSpec(
         model_type="qwen3_moe",
         num_layers=cfg.num_hidden_layers,
@@ -84,6 +78,8 @@ def spec_from_qwen3_moe(cfg) -> ModelSpec:
         num_experts_per_tok=cfg.num_experts_per_tok,
         moe_intermediate_size=cfg.moe_intermediate_size,
         norm_topk_prob=getattr(cfg, "norm_topk_prob", True),
+        mlp_only_layers=tuple(getattr(cfg, "mlp_only_layers", ()) or ()),
+        decoder_sparse_step=getattr(cfg, "decoder_sparse_step", 1) or 1,
     )
 
 

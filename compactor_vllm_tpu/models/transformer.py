@@ -71,6 +71,11 @@ class ModelSpec:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Mixed dense/MoE stacks (reference models/qwen3_moe.py:214-230): layer l
+    # is MoE iff num_experts > 0, l not in mlp_only_layers, and
+    # (l + 1) % decoder_sparse_step == 0.
+    mlp_only_layers: tuple = ()
+    decoder_sparse_step: int = 1
 
     @property
     def q_size(self) -> int:
@@ -91,6 +96,44 @@ class ModelSpec:
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    def layer_is_moe(self, l: int) -> bool:
+        return (
+            self.num_experts > 0
+            and l not in self.mlp_only_layers
+            and (l + 1) % self.decoder_sparse_step == 0
+        )
+
+    @property
+    def moe_layer_ids(self) -> tuple:
+        return tuple(
+            l for l in range(self.num_layers) if self.layer_is_moe(l)
+        )
+
+    @property
+    def dense_layer_ids(self) -> tuple:
+        return tuple(
+            l for l in range(self.num_layers) if not self.layer_is_moe(l)
+        )
+
+    @property
+    def is_mixed(self) -> bool:
+        """Both dense-MLP and MoE layers present (mixed stack)."""
+        return self.is_moe and len(self.dense_layer_ids) > 0
+
+    @property
+    def segments(self) -> tuple:
+        """Contiguous (start, stop, is_moe) layer runs — the decoder scans
+        each run separately over its own stacked weights."""
+        segs = []
+        start = 0
+        for l in range(1, self.num_layers + 1):
+            if l == self.num_layers or (
+                self.layer_is_moe(l) != self.layer_is_moe(start)
+            ):
+                segs.append((start, l, self.layer_is_moe(start)))
+                start = l
+        return tuple(segs)
 
 
 class PrefillMeta(NamedTuple):
@@ -141,6 +184,13 @@ class CompressionStatic:
     # Sequence starts in the packed layout are aligned to the score chunk, so
     # chunked scoring uses reshape views instead of scatters (chunking.py).
     aligned: bool = False
+    # Postrope chunk scoring fused into the Pallas prefill attention kernel
+    # (requires aligned packing + a backend with prefill_scored).
+    fused_postrope: bool = False
+    # Static bound on any single sequence's length in this batch (bucketed).
+    # The joint top-k gathers per-sequence score rows at this width instead
+    # of the full packed width (a 3-4x smaller top_k at typical batch mixes).
+    max_seq_static: int = 0  # 0 => use max_q
 
     @property
     def is_none(self) -> bool:
@@ -153,12 +203,18 @@ class AttentionImpl:
 
     store_full/store_topk override the jnp cache stores (XLA row scatters
     serialize on TPU; the Pallas backend stores page-granular DMAs instead).
+    prefill_scored, when present, additionally returns the raw postrope
+    128-chunk column mass [T, H] computed off the key tiles the attention
+    kernel already streams (the TPU analog of the reference's side-stream
+    scoring overlap, utils/helpers.py:6-28 — here the cost is ~zero because
+    the data never leaves VMEM).
     """
 
     prefill: Callable[..., jax.Array]
     decode: Callable[..., jax.Array]
     store_full: Callable[..., KVCacheState] | None = None
     store_topk: Callable[..., KVCacheState] | None = None
+    prefill_scored: Callable[..., tuple] | None = None
 
 
 def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
@@ -204,9 +260,14 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         layers["k_norm"] = jnp.ones((L, spec.head_dim), dtype)
     if spec.is_moe:
         E, I = spec.num_experts, spec.moe_intermediate_size
-        layers["router"] = init(ks[2], (L, Hd, E))
-        layers["gate_up_proj"] = init(ks[3], (L, E, Hd, 2 * I))
-        layers["down_proj"] = init(ks[4], (L, E, I, Hd), s=I**-0.5)
+        Lm = len(spec.moe_layer_ids)
+        layers["router"] = init(ks[2], (Lm, Hd, E))
+        layers["gate_up_proj"] = init(ks[3], (Lm, E, Hd, 2 * I))
+        layers["down_proj"] = init(ks[4], (Lm, E, I, Hd), s=I**-0.5)
+        if spec.is_mixed:
+            Id, Ld = spec.intermediate_size, len(spec.dense_layer_ids)
+            layers["dense_gate_up_proj"] = init(ks[7], (Ld, Hd, 2 * Id))
+            layers["dense_down_proj"] = init(ks[8], (Ld, Id, Hd), s=Id**-0.5)
     else:
         I = spec.intermediate_size
         layers["gate_up_proj"] = init(ks[3], (L, Hd, 2 * I))
@@ -269,16 +330,31 @@ def _attention_block(
                     m.token_seq_idx, m.token_in_pos, m.token_valid,
                     m.slots, cached_lens, m.seq_lens, m.seq_valid,
                 )
+            # Attention is exact: it attends over this step's raw K/V
+            # regardless of the store (reference layers/attention.py:51-126).
+            o = attn.prefill(geom, cache, layer, q, k, v, m, spec.sm_scale,
+                             max_q)
         else:
             from compactor_vllm_tpu.compression import get_method
 
+            method = get_method(comp.method)
+            colmass = None
+            if comp.fused_postrope and attn.prefill_scored is not None:
+                o, colmass = attn.prefill_scored(
+                    geom, cache, layer, q, k, v, m, spec.sm_scale, max_q
+                )
+            else:
+                o = attn.prefill(geom, cache, layer, q, k, v, m,
+                                 spec.sm_scale, max_q)
             b_pad = m.slots.shape[0]
-            scores = get_method(comp.method).score(
-                q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad
+            scores = method.score(
+                q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad,
+                postrope_colmass=colmass,
             )
+            max_q_sel = min(comp.max_seq_static or max_q, max_q)
             idx, valid_k = topk_retain_indices(
                 scores, m.seq_starts, m.seq_lens,
-                m.retain, max_q=max_q, k_static=comp.topk_static,
+                m.retain, max_q=max_q_sel, k_static=comp.topk_static,
             )
             if attn.store_topk is not None:
                 cache = attn.store_topk(geom, cache, layer, k, v, idx, valid_k, m)
@@ -287,9 +363,6 @@ def _attention_block(
                     geom, cache, layer, k, v, idx, valid_k,
                     m.seq_starts, m.slots, cached_lens, m.seq_valid,
                 )
-        # Attention output is exact: it attends over this step's raw K/V
-        # regardless of what was stored (reference layers/attention.py:51-126).
-        o = attn.prefill(geom, cache, layer, q, k, v, m, spec.sm_scale, max_q)
         kv_out = None
     else:
         # Decode: the step's K/V is merged in-register (self-key) and the
@@ -309,14 +382,43 @@ def _attention_block(
     return cache, out, kv_out
 
 
-def _mlp_block(spec: ModelSpec, lp: dict, x: jax.Array, tp_axis: str | None) -> jax.Array:
-    if spec.is_moe:
+def _mlp_block(
+    spec: ModelSpec, lp: dict, x: jax.Array, tp_axis: str | None, moe: bool
+) -> jax.Array:
+    if moe:
         from compactor_vllm_tpu.layers.moe import moe_block
 
         return moe_block(spec, lp, x, tp_axis)
     return psum_partial(
         silu_and_mul(x @ lp["gate_up_proj"]) @ lp["down_proj"], tp_axis
     )
+
+
+_ATTN_KEYS = ("input_norm", "qkv_proj", "o_proj", "post_norm", "q_norm", "k_norm")
+
+
+def _segment_layers(layers: dict, spec: ModelSpec, a: int, b: int, moe: bool):
+    """Stacked weights for the contiguous layer run [a, b): attention stacks
+    are sliced from the full-depth arrays; MLP stacks come from the kind's own
+    stack (mixed models keep separate dense_/moe stacks, so no layer wastes
+    memory on the other kind's weights)."""
+    lp = {k: layers[k][a:b] for k in _ATTN_KEYS if k in layers}
+    if not spec.is_mixed:
+        for k in ("router", "gate_up_proj", "down_proj"):
+            if k in layers:
+                lp[k] = layers[k][a:b]
+        return lp
+    ids = spec.moe_layer_ids if moe else spec.dense_layer_ids
+    off = ids.index(a)
+    n = b - a
+    if moe:
+        lp["router"] = layers["router"][off : off + n]
+        lp["gate_up_proj"] = layers["gate_up_proj"][off : off + n]
+        lp["down_proj"] = layers["down_proj"][off : off + n]
+    else:
+        lp["gate_up_proj"] = layers["dense_gate_up_proj"][off : off + n]
+        lp["down_proj"] = layers["dense_down_proj"][off : off + n]
+    return lp
 
 
 def forward(
@@ -351,37 +453,48 @@ def forward(
         pt_sel = cache.page_table[:, meta.slots]  # [L, Bd, H, maxp]
         lens_sel = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
 
-    def layer_fn(carry, xs):
-        x, residual, cache = carry
-        if is_prefill:
-            lp, layer = xs
-            pt_l = lens_l = None
-        else:
-            lp, layer, pt_l, lens_l = xs
-        normed, residual = rms_norm_fused_add(
-            x, residual, lp["input_norm"], spec.rms_norm_eps
-        )
-        cache, attn_out, kv = _attention_block(
-            spec, geom, lp, layer, cache, normed, meta.positions,
-            is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
-            max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
-            pt_l=pt_l, lens_l=lens_l,
-        )
-        normed, residual = rms_norm_fused_add(
-            attn_out, residual, lp["post_norm"], spec.rms_norm_eps
-        )
-        x = _mlp_block(spec, lp, normed, tp_axis)
-        return (x, residual, cache), kv
+    def make_layer_fn(moe: bool):
+        def layer_fn(carry, xs):
+            x, residual, cache = carry
+            if is_prefill:
+                lp, layer = xs
+                pt_l = lens_l = None
+            else:
+                lp, layer, pt_l, lens_l = xs
+            normed, residual = rms_norm_fused_add(
+                x, residual, lp["input_norm"], spec.rms_norm_eps
+            )
+            cache, attn_out, kv = _attention_block(
+                spec, geom, lp, layer, cache, normed, meta.positions,
+                is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
+                max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
+                pt_l=pt_l, lens_l=lens_l,
+            )
+            normed, residual = rms_norm_fused_add(
+                attn_out, residual, lp["post_norm"], spec.rms_norm_eps
+            )
+            x = _mlp_block(spec, lp, normed, tp_axis, moe)
+            return (x, residual, cache), kv
 
-    layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
-    xs = (params["layers"], layer_ids) if is_prefill else (
-        params["layers"], layer_ids, pt_sel, lens_sel
-    )
-    (x, residual, cache), kv_all = jax.lax.scan(
-        layer_fn, (x, residual, cache), xs
-    )
+        return layer_fn
+
+    # One lax.scan per contiguous same-kind layer run (a single run for
+    # uniform models); mixed dense/MoE stacks (qwen3_moe.py:214-230) thread
+    # the carry across segments.
+    carry = (x, residual, cache)
+    kv_segs = []
+    for a, b, kind in spec.segments:
+        lp_seg = _segment_layers(params["layers"], spec, a, b, kind)
+        layer_ids = jnp.arange(a, b, dtype=jnp.int32)
+        xs = (lp_seg, layer_ids) if is_prefill else (
+            lp_seg, layer_ids, pt_sel[a:b], lens_sel[a:b]
+        )
+        carry, kv_seg = jax.lax.scan(make_layer_fn(kind), carry, xs)
+        kv_segs.append(kv_seg)
+    x, residual, cache = carry
     if not is_prefill:
-        k_all, v_all = kv_all  # [L, Bd, H, D]
+        k_all = jnp.concatenate([kv[0] for kv in kv_segs], axis=0)
+        v_all = jnp.concatenate([kv[1] for kv in kv_segs], axis=0)  # [L, Bd, H, D]
         cache = store_decode_all_layers(
             geom, cache, k_all, v_all, meta.slots, meta.valid
         )

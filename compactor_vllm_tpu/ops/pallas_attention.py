@@ -50,10 +50,15 @@ NEG_INF = -1.0e30
 TOKEN_SLACK = 512
 
 
-def _row_tile(group: int) -> int:
+def _row_tile(group: int, score_chunks: bool = False) -> int:
     """Query-token tile: (tokens x group) rows = 256 fills two MXU passes and
-    halves the key-loop trip count vs 128-row tiles."""
-    return max(16, 256 // group)
+    halves the key-loop trip count vs 128-row tiles.
+
+    With fused chunk scoring the tile must cover whole 128-token scoring
+    chunks (reference postrope chunk, compression/compactor.py:17), so it is
+    raised to 128 tokens minimum."""
+    tm = max(16, 256 // group)
+    return max(tm, 128) if score_chunks else tm
 
 
 # ----------------------------------------------------------------- prefill
@@ -72,26 +77,22 @@ def _prefill_kernel(
     vn_hbm,  # [H, Tpad, D]
     kp_hbm,  # [rows, D]
     vp_hbm,  # [rows, D]
-    # output
-    o_hbm,  # [H, Tpad*G, D]
-    # scratch
-    q_buf,  # [R, D]
-    o_buf,  # [R, D]
-    kc_buf,  # [2, page, D]
-    vc_buf,  # [2, page, D]
-    kn_buf,  # [2, TN, D]
-    vn_buf,  # [2, TN, D]
-    acc_ref,  # [R, D] f32
-    m_ref,  # [R, 1] f32
-    l_ref,  # [R, 1] f32
-    sems,  # DMA sems [9]
-    *,
+    # outputs: o_hbm [H, Tpad*G, D]; with fused scoring also sc_ref, an
+    # auto-blocked [1, TM] f32 VMEM view of the [H, Tpad] chunk-score array
+    # (block column picked by seq_starts via the scalar-prefetch index map).
+    o_hbm,
+    *refs,
     sm_scale: float,
     page_size: int,
     tile_m: int,
     tile_n: int,
     group: int,
+    score_chunks: bool,
 ):
+    if score_chunks:
+        sc_ref, *refs = refs
+    (q_buf, o_buf, kc_buf, vc_buf, kn_buf, vn_buf, acc_ref, m_ref, l_ref,
+     sems) = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     m = pl.program_id(2)
@@ -245,6 +246,46 @@ def _prefill_kernel(
 
         jax.lax.fori_loop(0, n_end, new_body, 0)
 
+        if score_chunks:
+            # ---- fused postrope chunk scoring (reference non_causal_attn
+            # column mass, compression/compactor.py:489-599, sm_scale=1.0):
+            # each 128-token scoring chunk of this tile attends non-causally
+            # within itself. The chunk's keys are ALWAYS resident in the key
+            # tile of the final phase-2 iteration (the causal on-band end is
+            # the chunk), so no extra HBM traffic is needed.
+            CHUNK = 128
+            last_slot = jax.lax.rem(num_pages + n_end - 1, 2)
+            tile_k0 = (n_end - 1) * TN  # sequence-relative first key of tile
+            for c in range(TM // CHUNK):
+                qc0 = q0 + c * CHUNK  # chunk's first token, sequence-relative
+                q_c = q_buf[pl.ds(c * CHUNK * G, CHUNK * G), :]
+                off = pl.multiple_of(qc0 - tile_k0, CHUNK)
+                k_c = kn_buf[last_slot, pl.ds(off, CHUNK), :]
+                s2 = jax.lax.dot_general(
+                    q_c, k_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * LOG2E  # sm_scale = 1.0 in the exp2 domain
+                cols = qc0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK * G, CHUNK), 1
+                )
+                col_ok = cols < seq_len
+                s2 = jnp.where(col_ok, s2, NEG_INF)
+                m2 = jnp.maximum(
+                    jnp.max(s2, axis=-1, keepdims=True), NEG_INF / 2
+                )
+                p2 = jnp.exp2(s2 - m2)
+                p2 = p2 / jnp.maximum(
+                    jnp.sum(p2, axis=-1, keepdims=True), 1e-30
+                )
+                # Padded query rows contribute uniform mass to valid keys
+                # (reference quirk, compactor.py:447-452).
+                qrow = qc0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK * G, CHUNK), 0
+                ) // G
+                p2 = jnp.where(qrow < seq_len, p2, 1.0 / CHUNK)
+                p2 = jnp.where(col_ok, p2, 0.0)
+                sc_ref[0, pl.ds(c * CHUNK, CHUNK)] = jnp.sum(p2, axis=0)
+
         l = l_ref[...]
         out = acc_ref[...] / jnp.where(l > 0, l, 1.0)
         o_buf[...] = out.astype(o_buf.dtype)
@@ -270,16 +311,26 @@ def paged_prefill_attention(
     sm_scale: float,
     page_size: int,
     max_q: int,
+    score_chunks: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
+    """Paged varlen prefill attention; with `score_chunks` additionally
+    returns the fused postrope chunk-scoring column mass as a second array
+    [T, H] f32 (raw, un-z-scored; garbage on padding rows — callers mask).
+
+    Fused-scoring contract: sequence starts must be multiples of the query
+    tile (128 tokens x LCM with the scoring chunk), guaranteed by the
+    engine's chunk-aligned packing (ModelRunner._start_align).
+    """
     T, HQ, D = q.shape
     H = k_new.shape[1]
     G = HQ // H
     Bp = seq_starts.shape[0]
-    TM = _row_tile(G)
+    TM = _row_tile(G, score_chunks)
     TN = 512  # big key tiles amortize loop/DMA overhead over MXU work
     assert T % TM == 0 and max_q % TM == 0
-    grid = (Bp, H, pl.cdiv(max_q, TM))
+    num_m = pl.cdiv(max_q, TM)
+    grid = (Bp, H, num_m)
 
     # Head-major layouts so in-kernel DMA slices hit only untiled dims.
     q_hm = q.reshape(T, H, G, D).transpose(1, 0, 2, 3).reshape(H, T * G, D)
@@ -293,12 +344,29 @@ def paged_prefill_attention(
         tile_m=TM,
         tile_n=TN,
         group=G,
+        score_chunks=score_chunks,
     )
+    out_shape = [jax.ShapeDtypeStruct((H, T * G, D), q.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    if score_chunks:
+        # Auto-blocked score output: the block column is driven by the
+        # scalar-prefetched packed sequence starts, so each tile's chunk
+        # scores land at their packed token columns. Inactive tiles copy
+        # stale VMEM (clamped to the last block) — consumers mask padding.
+        n_blocks = T // TM
+
+        def sc_index(b, h, m, starts, lens, clens, pt, base):
+            return (h, jnp.minimum(starts[b] // TM + m, n_blocks - 1))
+
+        out_shape.append(jax.ShapeDtypeStruct((H, T), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, TM), sc_index, memory_space=pltpu.VMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_specs=tuple(out_specs) if score_chunks else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((TM * G, D), q.dtype),
             pltpu.VMEM((TM * G, D), q.dtype),
@@ -312,10 +380,10 @@ def paged_prefill_attention(
             pltpu.SemaphoreType.DMA((9,)),
         ],
     )
-    o_hm = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, T * G, D), q.dtype),
+        out_shape=tuple(out_shape) if score_chunks else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -328,7 +396,11 @@ def paged_prefill_attention(
         jnp.asarray(row_base, jnp.int32).reshape(1),
         q_hm, kn_hm, vn_hm, k_pages, v_pages,
     )
-    return o_hm.reshape(H, T, G, D).transpose(1, 0, 2, 3).reshape(T, HQ, D)
+    o_hm = outs[0] if score_chunks else outs
+    o = o_hm.reshape(H, T, G, D).transpose(1, 0, 2, 3).reshape(T, HQ, D)
+    if score_chunks:
+        return o, outs[1].T  # [T, H] raw column mass
+    return o
 
 
 # ------------------------------------------------------------------ decode
@@ -355,10 +427,11 @@ def _decode_kernel(
     sm_scale: float,
     page_size: int,
     group: int,
+    group_pages: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
-    G, GP = group, DECODE_GROUP
+    G, GP = group, group_pages
     D = q_ref.shape[-1]
     base = base_ref[0]
     length = lens_ref[b, h]
@@ -512,12 +585,13 @@ def paged_decode_attention(
     *,
     sm_scale: float,
     page_size: int,
+    group_pages: int = DECODE_GROUP,
     interpret: bool = False,
 ) -> jax.Array:
     Bd, HQ, D = q.shape
     H = page_table.shape[1]
     G = HQ // H
-    ng = -(-page_table.shape[2] // DECODE_GROUP)
+    ng = -(-page_table.shape[2] // group_pages)
     if contig8 is None:
         contig8 = jnp.zeros((Bd, H, ng), jnp.int32)
     else:
@@ -529,7 +603,8 @@ def paged_decode_attention(
     kn_hm = k_new[:, :, None, :]  # [Bd, H, 1, D]
     vn_hm = v_new[:, :, None, :]
     kernel = functools.partial(
-        _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G
+        _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G,
+        group_pages=group_pages,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -543,9 +618,9 @@ def paged_decode_attention(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, DECODE_GROUP * page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, DECODE_GROUP * page_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, DECODE_GROUP, 2)),
+            pltpu.VMEM((2, group_pages * page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, group_pages * page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, group_pages, 2)),
         ],
     )
     o_hm = pl.pallas_call(
@@ -695,7 +770,8 @@ def pallas_attention_impl(interpret: bool = False):
     """
     from compactor_vllm_tpu.models.transformer import AttentionImpl
 
-    def prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
+    def _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
+                 score_chunks=False):
         pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
         pt = pt_l[meta.slots]  # [Bp, H, maxp]
         clens = jnp.zeros((meta.slots.shape[0], geom.num_kv_heads), jnp.int32)
@@ -704,8 +780,15 @@ def pallas_attention_impl(interpret: bool = False):
             meta.seq_starts, meta.seq_lens,
             layer * geom.rows_per_layer,
             sm_scale=sm_scale, page_size=geom.page_size, max_q=max_q,
-            interpret=interpret,
+            score_chunks=score_chunks, interpret=interpret,
         )
+
+    def prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
+        return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q)
+
+    def prefill_scored(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
+        return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
+                        score_chunks=True)
 
     def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l, lens_l):
         return paged_decode_attention(
@@ -758,11 +841,16 @@ def pallas_attention_impl(interpret: bool = False):
         head_key = jnp.where(topk_valid, head, H)
         # Stable grouping by head via ONE single-operand sort: pack
         # (head, position) into one i32 key — cheaper than argsort, which
-        # sorts (key, iota) pairs. K < 2^20 by construction.
-        packed = head_key * (1 << 20) + jnp.arange(K, dtype=jnp.int32)[None, :]
+        # sorts (key, iota) pairs. The shift is sized to K (position bits)
+        # and the packed key must fit in i32's 31 value bits.
+        shift = max(K - 1, 1).bit_length()
+        assert (H + 1) < (1 << (31 - shift)), (
+            f"store_topk packed sort key overflow: K={K} heads={H}"
+        )
+        packed = head_key * (1 << shift) + jnp.arange(K, dtype=jnp.int32)[None, :]
         skey = jnp.sort(packed, axis=1)
-        head_sorted = skey >> 20
-        order = skey & ((1 << 20) - 1)  # original top-k position per sorted slot
+        head_sorted = skey >> shift
+        order = skey & ((1 << shift) - 1)  # original top-k position per sorted slot
         counts_all = jax.vmap(lambda x: jnp.bincount(x, length=H + 1))(head_sorted)
         counts = counts_all[:, :H].astype(jnp.int32)
         counts = counts * meta.seq_valid[:, None]
@@ -806,5 +894,6 @@ def pallas_attention_impl(interpret: bool = False):
                              meta.seq_valid)
 
     return AttentionImpl(
-        prefill=prefill, decode=decode, store_full=store_full, store_topk=store_topk
+        prefill=prefill, decode=decode, store_full=store_full,
+        store_topk=store_topk, prefill_scored=prefill_scored,
     )

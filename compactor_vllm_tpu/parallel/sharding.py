@@ -52,7 +52,9 @@ def local_spec(spec: ModelSpec, tp: int) -> ModelSpec:
     if spec.is_moe:
         assert spec.num_experts % tp == 0, "experts must divide tp"
         kw["num_experts"] = spec.num_experts // tp
-    else:
+    if not spec.is_moe or spec.is_mixed:
+        # Dense MLP layers (all layers, or the mlp_only_layers of a mixed
+        # stack) are channel-sharded.
         assert spec.intermediate_size % tp == 0
         kw["intermediate_size"] = spec.intermediate_size // tp
     return replace(spec, **kw)
@@ -73,6 +75,9 @@ def param_pspecs(spec: ModelSpec) -> dict:
         layers["router"] = P()
         layers["gate_up_proj"] = P(None, AXIS_TP, None, None)
         layers["down_proj"] = P(None, AXIS_TP, None, None)
+        if spec.is_mixed:
+            layers["dense_gate_up_proj"] = P(None, None, AXIS_TP)
+            layers["dense_down_proj"] = P(None, AXIS_TP, None)
     else:
         layers["gate_up_proj"] = P(None, None, AXIS_TP)
         layers["down_proj"] = P(None, AXIS_TP, None)
@@ -117,6 +122,10 @@ def shard_blocked_params(params: dict, spec: ModelSpec, tp: int) -> dict:
         gu = layers["gate_up_proj"]
         I = spec.intermediate_size
         layers["gate_up_proj"] = _blocked_cols([gu[..., :I], gu[..., I:]], tp)
+    elif spec.is_mixed:
+        gu = layers["dense_gate_up_proj"]
+        I = spec.intermediate_size
+        layers["dense_gate_up_proj"] = _blocked_cols([gu[..., :I], gu[..., I:]], tp)
     out["layers"] = layers
     return out
 

@@ -77,11 +77,21 @@ def load_params(
     if spec.use_qk_norm:
         layers["q_norm"] = np.zeros((L, D), np_dtype)
         layers["k_norm"] = np.zeros((L, D), np_dtype)
+    # Mixed dense/MoE stacks keep a separate (smaller) stack per kind;
+    # `moe_pos`/`dense_pos` map a global layer index into its kind's stack
+    # (reference: models/qwen3_moe.py:214-230 chooses the block per layer).
+    moe_pos = {l: i for i, l in enumerate(spec.moe_layer_ids)}
+    dense_pos = {l: i for i, l in enumerate(spec.dense_layer_ids)}
     if spec.is_moe:
         E, I = spec.num_experts, spec.moe_intermediate_size
-        layers["router"] = np.zeros((L, Hd, E), np_dtype)
-        layers["gate_up_proj"] = np.zeros((L, E, Hd, 2 * I), np_dtype)
-        layers["down_proj"] = np.zeros((L, E, I, Hd), np_dtype)
+        Lm = len(spec.moe_layer_ids)
+        layers["router"] = np.zeros((Lm, Hd, E), np_dtype)
+        layers["gate_up_proj"] = np.zeros((Lm, E, Hd, 2 * I), np_dtype)
+        layers["down_proj"] = np.zeros((Lm, E, I, Hd), np_dtype)
+        if spec.is_mixed:
+            Id, Ld = spec.intermediate_size, len(spec.dense_layer_ids)
+            layers["dense_gate_up_proj"] = np.zeros((Ld, Hd, 2 * Id), np_dtype)
+            layers["dense_down_proj"] = np.zeros((Ld, Id, Hd), np_dtype)
     else:
         I = spec.intermediate_size
         layers["gate_up_proj"] = np.zeros((L, Hd, 2 * I), np_dtype)
@@ -108,22 +118,32 @@ def load_params(
         elif sub == "self_attn.k_norm.weight":
             layers["k_norm"][i] = w
         elif sub == "mlp.gate_proj.weight":
-            layers["gate_up_proj"][i, :, :I] = w.T
+            if spec.is_mixed:
+                layers["dense_gate_up_proj"][dense_pos[i], :, : spec.intermediate_size] = w.T
+            else:
+                layers["gate_up_proj"][i, :, :I] = w.T
         elif sub == "mlp.up_proj.weight":
-            layers["gate_up_proj"][i, :, I:] = w.T
+            if spec.is_mixed:
+                layers["dense_gate_up_proj"][dense_pos[i], :, spec.intermediate_size :] = w.T
+            else:
+                layers["gate_up_proj"][i, :, I:] = w.T
         elif sub == "mlp.down_proj.weight":
-            layers["down_proj"][i] = w.T
+            if spec.is_mixed:
+                layers["dense_down_proj"][dense_pos[i]] = w.T
+            else:
+                layers["down_proj"][i] = w.T
         elif sub == "mlp.gate.weight":
-            layers["router"][i] = w.T
+            layers["router"][moe_pos[i]] = w.T
         elif (m := _EXPERT_RE.match(sub)) is not None:
             e = int(m.group(1))
             esub = m.group(2)
+            li = moe_pos[i]
             if esub == "gate_proj.weight":
-                layers["gate_up_proj"][i, e, :, :moe_i] = w.T
+                layers["gate_up_proj"][li, e, :, :moe_i] = w.T
             elif esub == "up_proj.weight":
-                layers["gate_up_proj"][i, e, :, moe_i:] = w.T
+                layers["gate_up_proj"][li, e, :, moe_i:] = w.T
             elif esub == "down_proj.weight":
-                layers["down_proj"][i, e] = w.T
+                layers["down_proj"][li, e] = w.T
 
     seen_layers: set[tuple[int, str]] = set()
 

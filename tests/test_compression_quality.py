@@ -105,3 +105,84 @@ def test_protected_tokens_always_selected():
     kept_tokens = set((idx[valid_k] // H).tolist())
     for t in list(range(3)) + list(range(T - 5, T)):
         assert t in kept_tokens, f"protected token {t} was evicted"
+
+
+def test_zscore_aligned_matches_segment_zscore():
+    """Reshape-based aligned z-scores (per-chunk and per-sequence) must equal
+    the segment_sum formulation they replace on the hot path."""
+    from compactor_vllm_tpu.compression.chunking import (
+        make_chunk_meta_aligned,
+        segment_zscore,
+        zscore_aligned,
+    )
+
+    rng = np.random.default_rng(3)
+    C, B = 32, 3
+    lens = [70, 32, 45]
+    T = 192  # sequences packed at 32-token-aligned starts: 0, 96, 128
+    starts = [0, 96, 128]
+    seq_idx = np.zeros(T, np.int32)
+    valid = np.zeros(T, bool)
+    for b, (s, L) in enumerate(zip(starts, lens)):
+        seq_idx[s:s + L] = b
+        valid[s:s + L] = True
+    scores = jnp.asarray(rng.normal(size=(T, 4)).astype(np.float32))
+    seq_idx, valid = jnp.asarray(seq_idx), jnp.asarray(valid)
+
+    meta = make_chunk_meta_aligned(seq_idx, valid, C)
+    got = zscore_aligned(scores, None, valid, C, "chunk")
+    want = segment_zscore(scores, meta.gcid, valid, meta.num_chunks)
+    np.testing.assert_allclose(
+        np.asarray(got)[np.asarray(valid)], np.asarray(want)[np.asarray(valid)],
+        rtol=1e-5, atol=1e-5,
+    )
+
+    got = zscore_aligned(scores, seq_idx, valid, C, "seq", num_seqs=B)
+    want = segment_zscore(scores, seq_idx, valid, B)
+    np.testing.assert_allclose(
+        np.asarray(got)[np.asarray(valid)], np.asarray(want)[np.asarray(valid)],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_compactor_scores_with_external_colmass_matches():
+    """compactor_scores(postrope_colmass=oracle colmass) must equal the
+    self-computed path — the contract the fused kernel scoring relies on."""
+    from compactor_vllm_tpu.compression.chunking import make_chunk_meta_aligned
+    from compactor_vllm_tpu.compression.compactor import (
+        POSTROPE_CHUNK,
+        chunk_colmass,
+        compactor_scores,
+    )
+
+    rng = np.random.default_rng(4)
+    T, H, G, D = 512, 2, 2, 32
+    lens = np.array([200, 131], np.int32)
+    starts = [0, 256]  # 256-aligned packing (LCM of chunk 256 and 128)
+    seq_idx = np.zeros(T, np.int32)
+    in_pos = np.zeros(T, np.int32)
+    valid = np.zeros(T, bool)
+    for b, (s, L) in enumerate(zip(starts, lens)):
+        seq_idx[s:s + L] = b
+        in_pos[s:s + L] = np.arange(L)
+        valid[s:s + L] = True
+    q = jnp.asarray(rng.normal(size=(T, H * G, D)).astype(np.float32))
+    k_pre = jnp.asarray(rng.normal(size=(T, H, D)).astype(np.float32))
+    k_post = jnp.asarray(rng.normal(size=(T, H, D)).astype(np.float32))
+    phi = make_phi(D, 16)
+    args = (
+        q, k_pre, k_post, phi, jnp.asarray(lens),
+        jnp.asarray(seq_idx), jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray([2, 2]), jnp.asarray([4, 4]),
+    )
+    kw = dict(score_chunk_size=256, t_pad=T, b_pad=2, aligned=True)
+    want = compactor_scores(*args, **kw)
+    meta = make_chunk_meta_aligned(
+        jnp.asarray(seq_idx), jnp.asarray(valid), POSTROPE_CHUNK
+    )
+    colmass = chunk_colmass(q, k_post, meta, POSTROPE_CHUNK, 1.0, aligned=True)
+    got = compactor_scores(*args, **kw, postrope_colmass=colmass)
+    vm = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[vm], np.asarray(want)[vm], rtol=1e-4, atol=1e-4
+    )

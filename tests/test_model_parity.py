@@ -239,3 +239,48 @@ def test_moe_and_rope_scaling_parity(make_cfg):
 
     np.testing.assert_allclose(ours_logits, hf_logits, atol=5e-4, rtol=1e-3)
     np.testing.assert_array_equal(ours_tokens, hf_tokens)
+
+
+def tiny_qwen3_moe_mixed_config():
+    """Mixed dense/MoE stack: layer 0 and 3 dense (mlp_only_layers +
+    decoder_sparse_step), layers 1-2 MoE (reference qwen3_moe.py:214-230)."""
+    return transformers.Qwen3MoeConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        moe_intermediate_size=48,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[0, 3],
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype=torch.float32,
+    )
+
+
+def test_mixed_dense_moe_stack_parity():
+    torch.manual_seed(2)
+    cfg = tiny_qwen3_moe_mixed_config()
+    from compactor_vllm_tpu.models import spec_from_hf_config as _s
+
+    spec = _s(cfg)
+    assert spec.is_mixed
+    assert spec.segments == ((0, 1, False), (1, 3, True), (3, 4, False))
+    hf_model = transformers.AutoModelForCausalLM.from_config(cfg)
+    hf_model.eval()
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (12, 9)]
+
+    ours_logits, ours_tokens = run_ours(hf_model, cfg, prompts, n_decode=6)
+    hf_logits, hf_tokens = run_hf(hf_model, prompts, n_decode=6)
+
+    np.testing.assert_allclose(ours_logits, hf_logits, atol=5e-4, rtol=1e-3)
+    np.testing.assert_array_equal(ours_tokens, hf_tokens)

@@ -142,6 +142,91 @@ def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
         np.testing.assert_allclose(got[sl], want[sl], atol=3e-3, rtol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "seq_lens,HQ",
+    [
+        ([200, 131], 8),    # G=2, partial final chunks
+        ([128, 256], 8),    # exact chunk multiples
+        ([300], 4),         # G=1 (TM=256: two chunks per tile)
+        ([70, 40, 129], 16),  # G=4 (tile raised to 128 tokens)
+    ],
+)
+def test_prefill_fused_chunk_scores_vs_oracle(seq_lens, HQ):
+    """score_chunks=True returns the postrope 128-chunk column mass equal to
+    the jnp oracle (chunk_colmass), and leaves attention output unchanged."""
+    from compactor_vllm_tpu.compression.chunking import make_chunk_meta_aligned
+    from compactor_vllm_tpu.compression.compactor import chunk_colmass
+
+    rng = np.random.default_rng(7)
+    B, H = len(seq_lens), GEOM.num_kv_heads
+    G = HQ // H
+    TM = _row_tile(G, score_chunks=True)
+    geom = GEOM._replace(num_pages=1024, max_pages_per_head=64)
+    cache_lens = np.zeros((B, H), np.int32)  # engine prefills are fresh
+    alloc = PageAllocator(
+        num_layers=1, num_shards=1, pages_per_shard=geom.num_pages,
+        num_kv_heads=H, max_pages_per_head=geom.max_pages_per_head,
+        num_slots=geom.num_slots, page_size=PAGE,
+    )
+    state = init_kv_cache(geom, dtype=jnp.float32)
+    slots = []
+    for i, L in enumerate(seq_lens):
+        alloc.alloc_slot(i)
+        alloc.reserve(i, L + 8)
+        slots.append(alloc.slot_of_seq[i])
+    state = state._replace(page_table=jnp.asarray(alloc.page_table))
+    slots = np.array(slots, np.int32)
+
+    # Chunk-aligned packing (the engine's _start_align contract).
+    starts = np.zeros(B, np.int32)
+    off = 0
+    for i, L in enumerate(seq_lens):
+        starts[i] = off
+        off = -(-(off + L) // TM) * TM
+    Tp = (-(-(off + max(TM, TOKEN_SLACK)) // TM)) * TM
+    D = GEOM.head_dim
+    q = rng.normal(size=(Tp, HQ, D)).astype(np.float32)
+    kn = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    vn = rng.normal(size=(Tp, H, D)).astype(np.float32)
+    lens = np.array(seq_lens, np.int32)
+    max_q = (-(-max(seq_lens) // TM)) * TM
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+
+    o_plain = paged_prefill_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        jnp.asarray(starts), jnp.asarray(lens), 0,
+        sm_scale=sm, page_size=PAGE, max_q=max_q, interpret=True,
+    )
+    o_scored, colmass = paged_prefill_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        jnp.asarray(starts), jnp.asarray(lens), 0,
+        sm_scale=sm, page_size=PAGE, max_q=max_q, score_chunks=True,
+        interpret=True,
+    )
+    # Oracle on the same packed layout.
+    seq_idx = np.zeros(Tp, np.int32)
+    valid = np.zeros(Tp, bool)
+    for b, L in enumerate(seq_lens):
+        seq_idx[starts[b]:starts[b] + L] = b
+        valid[starts[b]:starts[b] + L] = True
+    meta = make_chunk_meta_aligned(jnp.asarray(seq_idx), jnp.asarray(valid), 128)
+    want = np.asarray(chunk_colmass(
+        jnp.asarray(q), jnp.asarray(kn), meta, 128, 1.0, aligned=True
+    ))
+    got = np.asarray(colmass)
+    for b, L in enumerate(seq_lens):
+        sl = slice(starts[b], starts[b] + L)
+        np.testing.assert_allclose(got[sl], want[sl], atol=3e-3, rtol=1e-5)
+        # Attention output must be identical with and without fused scoring
+        # (modulo the tile-size change, which only affects fp reassociation).
+        np.testing.assert_allclose(
+            np.asarray(o_scored)[sl], np.asarray(o_plain)[sl], atol=3e-3
+        )
+
+
 @pytest.mark.parametrize("HQ", [4, 8, 16])
 @pytest.mark.parametrize("use_contig", [False, True])
 def test_decode_kernel_vs_oracle(HQ, use_contig):
