@@ -203,6 +203,12 @@ def compactor_scores(
         aligned=aligned, token_valid=token_valid,
     )
     if postrope_colmass is not None:
+        # Rows never written by the kernel (padding past every sequence)
+        # hold garbage, possibly NaN — zero them before the z-score (NaN
+        # survives multiplication by a 0 mask, not a select).
+        postrope_colmass = jnp.where(
+            token_valid[:, None], postrope_colmass, 0.0
+        )
         if aligned:
             post = zscore_aligned(
                 postrope_colmass, token_seq_idx, token_valid, POSTROPE_CHUNK,

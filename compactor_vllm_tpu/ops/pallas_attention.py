@@ -77,9 +77,10 @@ def _prefill_kernel(
     vn_hbm,  # [H, Tpad, D]
     kp_hbm,  # [rows, D]
     vp_hbm,  # [rows, D]
-    # outputs: o_hbm [H, Tpad*G, D]; with fused scoring also sc_ref, an
-    # auto-blocked [1, TM] f32 VMEM view of the [H, Tpad] chunk-score array
-    # (block column picked by seq_starts via the scalar-prefetch index map).
+    # outputs: o_hbm [H, Tpad*G, D]; with fused scoring also sc_hbm, an
+    # [H, Tpad/128, 1, 128] f32 HBM array of raw chunk column mass — the
+    # dynamic (head, chunk) indices land on untiled leading dims, so the
+    # in-kernel DMA needs no 8-aligned dynamic offsets (NOTES.md Mosaic rule).
     o_hbm,
     *refs,
     sm_scale: float,
@@ -90,7 +91,8 @@ def _prefill_kernel(
     score_chunks: bool,
 ):
     if score_chunks:
-        sc_ref, *refs = refs
+        sc_hbm, *refs = refs
+        *refs, sc_buf = refs
     (q_buf, o_buf, kc_buf, vc_buf, kn_buf, vn_buf, acc_ref, m_ref, l_ref,
      sems) = refs
     b = pl.program_id(0)
@@ -284,7 +286,15 @@ def _prefill_kernel(
                 ) // G
                 p2 = jnp.where(qrow < seq_len, p2, 1.0 / CHUNK)
                 p2 = jnp.where(col_ok, p2, 0.0)
-                sc_ref[0, pl.ds(c * CHUNK, CHUNK)] = jnp.sum(p2, axis=0)
+                sc_buf[0, :] = jnp.sum(p2, axis=0)
+                # seq_start is a multiple of the (>=128) query tile, so the
+                # packed chunk index is exact.
+                cidx = (seq_start + qc0) // CHUNK
+                sc_dma = pltpu.make_async_copy(
+                    sc_buf, sc_hbm.at[h, cidx], sems.at[9]
+                )
+                sc_dma.start()
+                sc_dma.wait()
 
         l = l_ref[...]
         out = acc_ref[...] / jnp.where(l > 0, l, 1.0)
@@ -349,19 +359,15 @@ def paged_prefill_attention(
     out_shape = [jax.ShapeDtypeStruct((H, T * G, D), q.dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     if score_chunks:
-        # Auto-blocked score output: the block column is driven by the
-        # scalar-prefetched packed sequence starts, so each tile's chunk
-        # scores land at their packed token columns. Inactive tiles copy
-        # stale VMEM (clamped to the last block) — consumers mask padding.
-        n_blocks = T // TM
-
-        def sc_index(b, h, m, starts, lens, clens, pt, base):
-            return (h, jnp.minimum(starts[b] // TM + m, n_blocks - 1))
-
-        out_shape.append(jax.ShapeDtypeStruct((H, T), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, TM), sc_index, memory_space=pltpu.VMEM)
+        # Raw chunk column mass, written by in-kernel DMA. 4D layout keeps
+        # the dynamic (head, chunk) indices on untiled leading dims.
+        # Never-written regions (padding rows past every sequence) hold
+        # garbage — consumers must mask by token validity.
+        assert T % 128 == 0
+        out_shape.append(
+            jax.ShapeDtypeStruct((H, T // 128, 1, 128), jnp.float32)
         )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
@@ -377,8 +383,9 @@ def paged_prefill_attention(
             pltpu.VMEM((TM * G, D), jnp.float32),
             pltpu.VMEM((TM * G, 1), jnp.float32),
             pltpu.VMEM((TM * G, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
+            pltpu.SemaphoreType.DMA((10,)),
+        ]
+        + ([pltpu.VMEM((1, 128), jnp.float32)] if score_chunks else []),
     )
     outs = pl.pallas_call(
         kernel,
@@ -399,7 +406,7 @@ def paged_prefill_attention(
     o_hm = outs[0] if score_chunks else outs
     o = o_hm.reshape(H, T, G, D).transpose(1, 0, 2, 3).reshape(T, HQ, D)
     if score_chunks:
-        return o, outs[1].T  # [T, H] raw column mass
+        return o, outs[1].reshape(H, T).T  # [T, H] raw column mass
     return o
 
 
