@@ -6,6 +6,15 @@ keys; per-key scores are the probability mass summed over those window query
 rows, causal-band average-pooled (kernel 5), z-scored per sequence over the
 non-window region, and window keys are forced to +inf so they always survive
 (snapkv.py:267-276). Incompatible with chunked scoring by construction.
+
+Long-context design: the reference streams the key axis inside a Triton
+kernel with an online LSE (snapkv.py:52-157). Here the same streaming runs as
+a two-pass `lax.scan` over key blocks — pass 1 accumulates each window
+query's (max, denominator), pass 2 emits per-block column mass — so peak
+memory is O(window * G * KEY_BLOCK) per block instead of a dense
+[H, W, G, T] logit tensor (hundreds of MB at 32K, GB at 128K). The QK logits
+are computed twice, but the window is 32 rows: the FLOPs are negligible next
+to prefill attention.
 """
 
 from __future__ import annotations
@@ -14,10 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from compactor_vllm_tpu.compression.compactor import NEG_INF, POS_INF, apply_protection
-from compactor_vllm_tpu.ops.attention_ref import unpack_varlen
 
 WINDOW = 32  # reference: snapkv.py:33 (w=32)
 KPOOL = 5  # reference: snapkv.py:430
+KEY_BLOCK = 1024  # streaming block along the key axis
 
 
 def snapkv_scores(
@@ -33,6 +42,7 @@ def snapkv_scores(
     max_q: int,
     window: int = WINDOW,
     kpool: int = KPOOL,
+    key_block: int = KEY_BLOCK,
 ) -> jax.Array:  # [T, H]
     T, HQ, D = q_postrope.shape
     H = k_postrope.shape[1]
@@ -49,29 +59,66 @@ def snapkv_scores(
     wpos = jnp.arange(window, dtype=jnp.int32)[None, :]  # [1, W]
     widx = (seq_starts + lens)[:, None] - win[:, None] + wpos  # [Bp, W]
     wvalid = wpos < win[:, None]
-    widx = jnp.where(wvalid, widx, 0)
-    qw = q_postrope[widx]  # [Bp, W, HQ, D]
+    widx = jnp.where(wvalid, jnp.clip(widx, 0, T - 1), 0)
+    qw = q_postrope[widx].astype(jnp.float32)  # [Bp, W, HQ, D]
     qw = qw.reshape(Bp, window, H, G, D)
+    row_ok = wvalid[:, None, :, None]  # [Bp, 1, W, 1]
 
-    kb, kmask = unpack_varlen(k_postrope, seq_starts, seq_lens, max_q)  # [Bp, max_q, H, D]
-    kpos = jnp.arange(max_q, dtype=jnp.int32)  # [max_q]
-    eff_mask = kmask & (kpos[None, :] < eff_len[:, None])  # non-window keys only
+    KB = min(key_block, max_q)
+    NB = -(-max_q // KB)
+    kpos_blk = jnp.arange(KB, dtype=jnp.int32)  # [KB]
 
-    logits = jnp.einsum(
-        "bwhgd,bkhd->bhwgk",
-        qw.astype(jnp.float32),
-        kb.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale  # [Bp, H, W, G, max_q]
-    row_ok = wvalid[:, None, :, None, None]  # [Bp,1,W,1,1]
-    col_ok = eff_mask[:, None, None, None, :]  # [Bp,1,1,1,max_q]
-    logits = jnp.where(row_ok & col_ok, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - jnp.maximum(m, NEG_INF / 2))
-    denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
-    p = jnp.where(row_ok, p / denom, 0.0)
-    scores = p.sum(axis=(2, 3))  # [Bp, H, max_q]
-    scores = jnp.where(eff_mask[:, None, :], scores, 0.0)
+    def block_logits(i):
+        """QK logits of one key block: [Bp, H, W, G, KB] + key mask [Bp, KB]."""
+        pos = i * KB + kpos_blk  # sequence-relative key positions
+        rows = jnp.clip(seq_starts[:, None] + pos[None, :], 0, T - 1)
+        kb = k_postrope[rows].astype(jnp.float32)  # [Bp, KB, H, D]
+        ok = pos[None, :] < eff_len[:, None]  # non-window keys only
+        s = jnp.einsum(
+            "bwhgd,bkhd->bhwgk", qw, kb, preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = jnp.where(
+            row_ok[..., None] & ok[:, None, None, None, :], s, NEG_INF
+        )
+        return s, ok
+
+    # Pass 1: per-query-row (max, denominator) via online LSE over blocks
+    # (reference streams this in-kernel, snapkv.py:52-157).
+    def lse_body(carry, i):
+        m, l = carry
+        s, _ = block_logits(i)
+        mb = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m, mb)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.exp(s - m_new[..., None]).sum(axis=-1)
+        return (m_new, l), None
+
+    m0 = jnp.full((Bp, H, window, G), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Bp, H, window, G), jnp.float32)
+    (m_f, l_f), _ = jax.lax.scan(
+        lse_body, (m0, l0), jnp.arange(NB, dtype=jnp.int32)
+    )
+    m_f = jnp.maximum(m_f, NEG_INF / 2)
+    inv_l = jnp.where(l_f > 0, 1.0 / jnp.maximum(l_f, 1e-30), 0.0)
+    inv_l = jnp.where(row_ok, inv_l, 0.0)
+
+    # Pass 2: per-block column mass summed over window query rows.
+    def mass_body(out, i):
+        s, ok = block_logits(i)
+        p = jnp.exp(s - m_f[..., None]) * inv_l[..., None]
+        colmass = p.sum(axis=(2, 3))  # [Bp, H, KB]
+        colmass = jnp.where(ok[:, None, :], colmass, 0.0)
+        out = jax.lax.dynamic_update_slice(out, colmass, (0, 0, i * KB))
+        return out, None
+
+    scores0 = jnp.zeros((Bp, H, NB * KB), jnp.float32)
+    scores, _ = jax.lax.scan(
+        mass_body, scores0, jnp.arange(NB, dtype=jnp.int32)
+    )
+    scores = scores[:, :, :max_q]
+    kpos = jnp.arange(max_q, dtype=jnp.int32)
+    kmask = kpos[None, :] < lens[:, None]
+    eff_mask = kpos[None, :] < eff_len[:, None]
 
     if kpool > 1:
         # Causal average pool along keys: pooled[i] = mean(s[i-kpool+1 .. i]),

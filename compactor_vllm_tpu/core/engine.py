@@ -105,6 +105,16 @@ class LLMEngine:
         progress: bool = False,
     ) -> list[GenerationOutput]:
         bp = batch_compression or BatchCompressionParams()
+        import jax
+
+        if jax.process_count() > 1:
+            # Multi-host SPMD: every host must see the identical request
+            # stream so its deterministic scheduler/allocator make the same
+            # decisions (reference analog: NCCL pack broadcast,
+            # utils/arguments.py:212-239). Host 0 is the source of truth.
+            from compactor_vllm_tpu.parallel import multihost
+
+            seqs = multihost.broadcast_requests(seqs)
         for s in seqs:
             s.clamp_compression_if_protected()
         t0 = time.perf_counter()

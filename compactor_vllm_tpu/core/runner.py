@@ -56,6 +56,7 @@ from compactor_vllm_tpu.models.transformer import (
     reference_attention_impl,
 )
 from compactor_vllm_tpu.parallel import (
+    AXIS_DP,
     AXIS_TP,
     cache_pspecs,
     local_spec,
@@ -134,8 +135,9 @@ class ModelRunner:
             except Exception as e:  # pragma: no cover - best effort
                 logger.warning("compilation cache unavailable: %s", e)
         self.tp = cfg.tensor_parallel_size
-        if self.tp > 1 and mesh is None:
-            mesh = make_mesh(tp=self.tp)
+        self.dp = cfg.data_parallel_size
+        if (self.tp > 1 or self.dp > 1) and mesh is None:
+            mesh = make_mesh(tp=self.tp, dp=self.dp)
         self.mesh = mesh
         # Per-device shard of the model (heads/experts/vocab divided by tp).
         self.lspec = local_spec(spec, self.tp)
@@ -177,24 +179,35 @@ class ModelRunner:
             self.params = params = shard_params(params, spec, self.mesh, self.tp)
             self.cache = self._init_sharded_cache(cache_dtype)
         self.params = params
-        self.alloc = PageAllocator(
-            num_layers=self.geom.num_layers,
-            num_shards=self.tp,
-            pages_per_shard=self.geom.num_pages,
-            num_kv_heads=spec.num_kv_heads,
-            max_pages_per_head=self.geom.max_pages_per_head,
-            num_slots=self.geom.num_slots,
-            page_size=self.geom.page_size,
-        )
-        self.scheduler = Scheduler(cfg, self.alloc)
+        # One allocator + scheduler per data-parallel group: each group owns
+        # its own batch slots and page pools (the cache shards the slot axis
+        # over "dp"), so admission decisions never cross groups — the TPU
+        # analog of the reference's per-worker engine state
+        # (core/llm_engine.py:52-70).
+        self.allocs = [
+            PageAllocator(
+                num_layers=self.geom.num_layers,
+                num_shards=self.tp,
+                pages_per_shard=self.geom.num_pages,
+                num_kv_heads=spec.num_kv_heads,
+                max_pages_per_head=self.geom.max_pages_per_head,
+                num_slots=self.geom.num_slots,
+                page_size=self.geom.page_size,
+            )
+            for _ in range(self.dp)
+        ]
+        self.scheds = [Scheduler(cfg, a) for a in self.allocs]
+        self.alloc = self.allocs[0]
+        self.scheduler = self.scheds[0]
         self.phi = make_phi(spec.head_dim, cfg.leverage_sketch_size)
         self._base_key = jax.random.PRNGKey(cfg.seed)
         self._step = 0
 
     def _init_sharded_cache(self, cache_dtype) -> KVCacheState:
         """Global cache: per-device page pools concatenated on the rows axis,
-        kv heads sharded over tp; allocated directly sharded on the mesh."""
-        geom, S = self.geom, self.tp
+        kv heads sharded over tp, batch slots over dp; allocated directly
+        sharded on the mesh."""
+        geom, S, G = self.geom, self.tp, self.dp
         cspecs = cache_pspecs()
         shardings = jax.tree.map(lambda s: NamedSharding(self.mesh, s), cspecs,
                                  is_leaf=lambda x: isinstance(x, P))
@@ -202,13 +215,15 @@ class ModelRunner:
         @partial(jax.jit, out_shardings=shardings)
         def mk():
             return KVCacheState(
-                k_pages=jnp.zeros((S * geom.total_rows, geom.head_dim), cache_dtype),
-                v_pages=jnp.zeros((S * geom.total_rows, geom.head_dim), cache_dtype),
+                k_pages=jnp.zeros(
+                    (G * S * geom.total_rows, geom.head_dim), cache_dtype),
+                v_pages=jnp.zeros(
+                    (G * S * geom.total_rows, geom.head_dim), cache_dtype),
                 page_table=jnp.zeros(
-                    (geom.num_layers, geom.num_slots,
+                    (geom.num_layers, G * geom.num_slots,
                      S * geom.num_kv_heads, geom.max_pages_per_head), jnp.int32),
                 bh_lens=jnp.zeros(
-                    (geom.num_layers, geom.num_slots, S * geom.num_kv_heads),
+                    (geom.num_layers, G * geom.num_slots, S * geom.num_kv_heads),
                     jnp.int32),
             )
 
@@ -431,22 +446,50 @@ class ModelRunner:
         # aligned reshape views in chunking.py stay scatter-free.
         return max(8, bp.chunk_size)
 
+    @staticmethod
+    def _dp_meta_specs(meta_type):
+        """PartitionSpecs for dp-stacked batch metadata: every per-batch
+        array carries a leading dp-group axis sharded over "dp"; phi is
+        replicated; contig8 additionally shards its kv-head axis over "tp"."""
+        def spec_for(f):
+            if f == "phi":
+                return P()
+            if f == "contig8":
+                return P(AXIS_DP, None, AXIS_TP, None)
+            return P(AXIS_DP)
+
+        return meta_type(**{f: spec_for(f) for f in meta_type._fields})
+
+    @staticmethod
+    def _dp_local_meta(meta):
+        """Drop the leading (local size 1) dp axis of a sharded meta."""
+        t = type(meta)
+        return t(**{
+            f: getattr(meta, f) if f == "phi" else getattr(meta, f)[0]
+            for f in t._fields
+        })
+
     def _shard_step(self, inner, meta_type):
         """Wrap a per-device step in shard_map over the (dp, tp) mesh.
 
-        Batch metadata is replicated (dp=1 inside one engine; dp>1 shards
-        would partition the slots axis) and the cache/params pytrees carry
-        their tp shardings; collectives inside `forward` ride the tp axis.
-        """
-        meta_specs = meta_type(**{
-            f: P(None, AXIS_TP, None) if f == "contig8" else P()
-            for f in meta_type._fields
-        })
+        Batch metadata is dp-stacked (leading [dp] axis; each group runs its
+        own batch over its own slots/pools) and the cache/params pytrees
+        carry their shardings; collectives inside `forward` ride the tp axis
+        and nothing crosses dp (reference analog: independent workers,
+        core/llm_engine.py:52-70)."""
+        def wrapped(params, cache, meta, temps, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS_DP))
+            cache, tokens = inner(
+                params, cache, self._dp_local_meta(meta), temps[0], rng
+            )
+            return cache, tokens[None]
+
         return jax.shard_map(
-            inner,
+            wrapped,
             mesh=self.mesh,
-            in_specs=(param_pspecs(self.spec), cache_pspecs(), meta_specs, P(), P()),
-            out_specs=(cache_pspecs(), P()),
+            in_specs=(param_pspecs(self.spec), cache_pspecs(),
+                      self._dp_meta_specs(meta_type), P(AXIS_DP), P()),
+            out_specs=(cache_pspecs(), P(AXIS_DP)),
             check_vma=False,
         )
 
@@ -544,16 +587,25 @@ class ModelRunner:
                 return cache, toks  # [n_steps, b_pad]
 
             if self.mesh is not None:
-                meta_specs = DecodeMeta(**{
-                    f: P(None, AXIS_TP, None) if f == "contig8" else P()
-                    for f in DecodeMeta._fields
-                })
+                inner_loop = loop
+
+                def loop(params, cache, meta, temps, remaining, eos, rng):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index(AXIS_DP)
+                    )
+                    cache, toks = inner_loop(
+                        params, cache, self._dp_local_meta(meta),
+                        temps[0], remaining[0], eos, rng,
+                    )
+                    return cache, toks[:, None]
+
                 loop = jax.shard_map(
                     loop,
                     mesh=self.mesh,
                     in_specs=(param_pspecs(self.spec), cache_pspecs(),
-                              meta_specs, P(), P(), P(), P()),
-                    out_specs=(cache_pspecs(), P()),
+                              self._dp_meta_specs(DecodeMeta),
+                              P(AXIS_DP), P(AXIS_DP), P(), P()),
+                    out_specs=(cache_pspecs(), P(None, AXIS_DP)),
                     check_vma=False,
                 )
             self._fn_cache[key] = jax.jit(loop, donate_argnums=(1,))
@@ -565,48 +617,30 @@ class ModelRunner:
 
     # ------------------------------------------------------------ page table
 
-    def sync_page_table(self, updates: list[SlotUpdate]) -> None:
-        """Push freshly allocated page-table rows to the device."""
+    def sync_page_table(self, updates: list[SlotUpdate], group: int = 0) -> None:
+        """Push freshly allocated page-table rows to the device. `group`
+        selects the dp group: its slots live at a group offset in the global
+        slot axis (sharded over "dp")."""
         if not updates:
             return
         slots = np.array([u.slot for u in updates], np.int32)
-        rows = self.alloc.page_table[:, slots]  # [L, n, H, maxp]
+        rows = self.allocs[group].page_table[:, slots]  # [L, n, H, maxp]
+        gslots = slots + group * self.geom.num_slots
         self.cache = self.cache._replace(
-            page_table=self.cache.page_table.at[:, slots].set(jnp.asarray(rows))
+            page_table=self.cache.page_table.at[:, gslots].set(jnp.asarray(rows))
         )
 
     # ------------------------------------------------------------- execution
 
-    def run_prefill(self, seqs: list[Sequence], bp: BatchCompressionParams) -> np.ndarray:
+    def _prefill_group_arrays(self, seqs, group, t_pad, b_pad, starts, off):
+        """Host-side packed arrays for one dp group's prefill batch."""
         B = len(seqs)
         lens = [s.num_prompt_tokens for s in seqs]
-        # Pack sequences at aligned starts: 8 tokens minimum (Pallas DMA
-        # tiling contract, ops/pallas_attention.py), or the scoring-chunk
-        # size when compressing so chunked scoring is scatter-free.
-        align = self._start_align(bp)
-        starts = np.zeros(B, np.int32)
-        off = 0
-        for i, L in enumerate(lens):
-            starts[i] = off
-            off = cdiv(off + L, align) * align
-        t_pad = _bucket(off, self.cfg.prefill_token_buckets)
-        # Tile-aligned slack past the last token (TOKEN_SLACK contract);
-        # t_pad itself must stay a multiple of the alignment.
-        from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
-
-        round_to = max(256, align)
-        t_pad = cdiv(max(t_pad, off), round_to) * round_to
-        t_pad += cdiv(TOKEN_SLACK, round_to) * round_to
-        # Prefill batches hold few (long) sequences — pad to their own small
-        # bucket, NOT the decode batch bucket: the joint top-k, head-grouping
-        # sort, and scoring all scale with the padded row count.
-        b_pad = _pow2_bucket(B, 4)
-        comp = self._comp_static(bp, seqs)
-
-        starts_pad = np.full(b_pad, off, np.int32)
-        starts_pad[:B] = starts
-        lens_pad = np.zeros(b_pad, np.int32)
-        lens_pad[:B] = lens
+        a = {}
+        a["seq_starts"] = np.full(b_pad, off, np.int32)
+        a["seq_starts"][:B] = starts
+        a["seq_lens"] = np.zeros(b_pad, np.int32)
+        a["seq_lens"][:B] = lens
         ids = np.zeros(t_pad, np.int32)
         seq_idx = np.zeros(t_pad, np.int32)
         in_pos = np.zeros(t_pad, np.int32)
@@ -617,52 +651,105 @@ class ModelRunner:
             seq_idx[sl] = i
             in_pos[sl] = np.arange(lens[i])
             valid[sl] = True
+        a["input_ids"], a["token_seq_idx"] = ids, seq_idx
+        a["positions"] = a["token_in_pos"] = in_pos
+        a["token_valid"] = valid
         slots = np.zeros(b_pad, np.int32)
         retain = np.ones(b_pad, np.int32)
         pf = np.zeros(b_pad, np.int32)
         pl = np.zeros(b_pad, np.int32)
         temps = np.zeros(b_pad, np.float32)
         for i, s in enumerate(seqs):
-            slots[i] = self.alloc.slot_of_seq[s.seq_id]
+            slots[i] = self.allocs[group].slot_of_seq[s.seq_id]
             retain[i] = s.effective_retain_budget(self.lspec.num_kv_heads)
             pf[i] = s.compression_params.protected_first_tokens
             pl[i] = s.compression_params.protected_last_tokens
             temps[i] = s.sampling_params.temperature
-        seq_valid = np.arange(b_pad) < B
+        a["slots"], a["retain"] = slots, retain
+        a["protected_first"], a["protected_last"] = pf, pl
+        a["seq_valid"] = np.arange(b_pad) < B
+        return a, temps
 
-        meta = PrefillMeta(
-            input_ids=jnp.asarray(ids),
-            positions=jnp.asarray(in_pos),
-            token_seq_idx=jnp.asarray(seq_idx),
-            token_in_pos=jnp.asarray(in_pos),
-            token_valid=jnp.asarray(valid),
-            seq_starts=jnp.asarray(starts_pad),
-            seq_lens=jnp.asarray(lens_pad),
-            slots=jnp.asarray(slots),
-            seq_valid=jnp.asarray(seq_valid),
-            retain=jnp.asarray(retain),
-            protected_first=jnp.asarray(pf),
-            protected_last=jnp.asarray(pl),
-            phi=self.phi,
-        )
+    def run_prefill(self, seqs, bp: BatchCompressionParams):
+        """Run one prefill dispatch. `seqs` is a flat list (single group) or
+        a per-dp-group list of lists (one batch per group, run in lockstep in
+        the same compiled program). Returns sampled tokens per group (flat
+        array for flat input)."""
+        flat = not (seqs and isinstance(seqs[0], list))
+        groups = [seqs] if flat else list(seqs)
+        groups += [[] for _ in range(self.dp - len(groups))]
+        all_seqs = [s for g in groups for s in g]
+        # Pack sequences at aligned starts: 8 tokens minimum (Pallas DMA
+        # tiling contract, ops/pallas_attention.py), or the scoring-chunk
+        # LCM when compressing so chunked scoring is scatter-free.
+        align = self._start_align(bp)
+        g_starts, g_offs = [], []
+        for g in groups:
+            starts = np.zeros(len(g), np.int32)
+            off = 0
+            for i, s in enumerate(g):
+                starts[i] = off
+                off = cdiv(off + s.num_prompt_tokens, align) * align
+            g_starts.append(starts)
+            g_offs.append(off)
+        t_pad = _bucket(max(g_offs), self.cfg.prefill_token_buckets)
+        # Tile-aligned slack past the last token (TOKEN_SLACK contract);
+        # t_pad itself must stay a multiple of the alignment.
+        from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
+
+        round_to = max(256, align)
+        t_pad = cdiv(max(t_pad, max(g_offs)), round_to) * round_to
+        t_pad += cdiv(TOKEN_SLACK, round_to) * round_to
+        # Prefill batches hold few (long) sequences — pad to their own small
+        # bucket, NOT the decode batch bucket: the joint top-k, head-grouping
+        # sort, and scoring all scale with the padded row count.
+        b_pad = _pow2_bucket(max(len(g) for g in groups), 4)
+        comp = self._comp_static(bp, all_seqs)
+
+        packs = [
+            self._prefill_group_arrays(g, gi, t_pad, b_pad, g_starts[gi], g_offs[gi])
+            for gi, g in enumerate(groups)
+        ]
+        if self.mesh is None:
+            arrays, temps = packs[0]
+            meta = PrefillMeta(
+                **{f: jnp.asarray(arrays[f]) for f in arrays}, phi=self.phi
+            )
+            temps = jnp.asarray(temps)
+        else:
+            meta = PrefillMeta(
+                **{
+                    f: jnp.asarray(np.stack([p[0][f] for p in packs]))
+                    for f in packs[0][0]
+                },
+                phi=self.phi,
+            )
+            temps = jnp.asarray(np.stack([p[1] for p in packs]))
         fn = self._prefill_fn(t_pad, b_pad, comp)
         self.cache, tokens = fn(
-            self.params, self.cache, meta, jnp.asarray(temps), self._next_key()
+            self.params, self.cache, meta, temps, self._next_key()
         )
-        return np.asarray(tokens)[:B]
+        tokens = np.asarray(tokens)
+        if self.mesh is None:
+            return tokens[: len(groups[0])]
+        out = [tokens[gi, : len(g)] for gi, g in enumerate(groups)]
+        return out[0] if flat else out
 
-    def reclaim_after_compression(self, seqs: list[Sequence]) -> None:
+    def reclaim_after_compression(self, seqs: list[Sequence], group: int = 0) -> None:
         """Read back per-head retained lengths and return surplus pages
         (reference: core/model_runner.py:288-291, memory_manager.py:171-182)."""
-        slots = np.array([self.alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32)
-        lens = np.asarray(self.cache.bh_lens[:, slots])  # [L, n, H]
+        if not seqs:
+            return
+        alloc = self.allocs[group]
+        slots = np.array([alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32)
+        gslots = slots + group * self.geom.num_slots
+        lens = np.asarray(self.cache.bh_lens[:, gslots])  # [L, n, H]
         for i, s in enumerate(seqs):
             headroom = s.sampling_params.max_new_tokens
-            self.alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
+            alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
 
-    def _decode_meta(self, seqs: list[Sequence]):
-        B = len(seqs)
-        b_pad = _bucket(B, self.cfg.decode_batch_buckets)
+    def _decode_group_arrays(self, seqs, group, b_pad):
+        alloc = self.allocs[group]
         ids = np.zeros(b_pad, np.int32)
         pos = np.zeros(b_pad, np.int32)
         slots = np.zeros(b_pad, np.int32)
@@ -670,48 +757,82 @@ class ModelRunner:
         for i, s in enumerate(seqs):
             ids[i] = s.last_token
             pos[i] = s.num_tokens - 1
-            slots[i] = self.alloc.slot_of_seq[s.seq_id]
+            slots[i] = alloc.slot_of_seq[s.seq_id]
             temps[i] = s.sampling_params.temperature
-        valid = np.arange(b_pad) < B
+        valid = np.arange(b_pad) < len(seqs)
         from compactor_vllm_tpu.ops.pallas_attention import DECODE_GROUP
 
         ng = cdiv(self.geom.max_pages_per_head, DECODE_GROUP)
         contig8 = np.zeros((b_pad, self.spec.num_kv_heads, ng), np.int32)
         for i, s in enumerate(seqs):
-            contig8[i] = self.alloc.contig_groups(
-                self.alloc.slot_of_seq[s.seq_id], DECODE_GROUP
+            contig8[i] = alloc.contig_groups(
+                alloc.slot_of_seq[s.seq_id], DECODE_GROUP
             )
-        meta = DecodeMeta(
-            input_ids=jnp.asarray(ids),
-            positions=jnp.asarray(pos),
-            slots=jnp.asarray(slots),
-            valid=jnp.asarray(valid),
-            contig8=jnp.asarray(contig8),
-        )
-        return b_pad, meta, jnp.asarray(temps)
+        return {
+            "input_ids": ids, "positions": pos, "slots": slots,
+            "valid": valid, "contig8": contig8,
+        }, temps
 
-    def run_decode_step(self, seqs: list[Sequence]) -> np.ndarray:
-        B = len(seqs)
-        b_pad, meta, temps = self._decode_meta(seqs)
+    def _decode_meta(self, groups: list[list[Sequence]]):
+        b_pad = _bucket(
+            max(len(g) for g in groups), self.cfg.decode_batch_buckets
+        )
+        packs = [
+            self._decode_group_arrays(g, gi, b_pad)
+            for gi, g in enumerate(groups)
+        ]
+        if self.mesh is None:
+            arrays, temps = packs[0]
+            meta = DecodeMeta(**{f: jnp.asarray(v) for f, v in arrays.items()})
+            return b_pad, meta, jnp.asarray(temps)
+        meta = DecodeMeta(**{
+            f: jnp.asarray(np.stack([p[0][f] for p in packs]))
+            for f in packs[0][0]
+        })
+        return b_pad, meta, jnp.asarray(np.stack([p[1] for p in packs]))
+
+    @staticmethod
+    def _as_groups(seqs):
+        return ([seqs], True) if not (seqs and isinstance(seqs[0], list)) \
+            else (list(seqs), False)
+
+    def run_decode_step(self, seqs) -> np.ndarray:
+        groups, flat = self._as_groups(seqs)
+        groups += [[] for _ in range(self.dp - len(groups))]
+        b_pad, meta, temps = self._decode_meta(groups)
         fn = self._decode_fn(b_pad)
         self.cache, tokens = fn(self.params, self.cache, meta, temps, self._next_key())
-        return np.asarray(tokens)[:B]
+        tokens = np.asarray(tokens)
+        if self.mesh is None:
+            return tokens[: len(groups[0])]
+        out = [tokens[gi, : len(g)] for gi, g in enumerate(groups)]
+        return out[0] if flat else out
 
-    def run_decode_loop(self, seqs: list[Sequence], n_steps: int) -> np.ndarray:
+    def run_decode_loop(self, seqs, n_steps: int):
         """Run up to n_steps decode iterations in one dispatch; returns the
-        sampled tokens [n_steps, B] (-1 marks post-termination lanes)."""
-        B = len(seqs)
-        b_pad, meta, temps = self._decode_meta(seqs)
-        remaining = np.ones(b_pad, np.int32)
-        for i, s in enumerate(seqs):
-            remaining[i] = s.sampling_params.max_new_tokens - s.num_completion_tokens
+        sampled tokens [n_steps, B] per group (-1 marks post-termination
+        lanes). `seqs` is flat (single group) or per-dp-group lists."""
+        groups, flat = self._as_groups(seqs)
+        groups += [[] for _ in range(self.dp - len(groups))]
+        b_pad, meta, temps = self._decode_meta(groups)
+        remaining = np.ones((len(groups), b_pad), np.int32)
+        for gi, g in enumerate(groups):
+            for i, s in enumerate(g):
+                remaining[gi, i] = (
+                    s.sampling_params.max_new_tokens - s.num_completion_tokens
+                )
         fn = self._decode_loop_fn(b_pad, n_steps)
+        rem = jnp.asarray(remaining if self.mesh is not None else remaining[0])
         self.cache, tokens = fn(
             self.params, self.cache, meta, temps,
-            jnp.asarray(remaining), jnp.asarray(self.cfg.eos, jnp.int32),
+            rem, jnp.asarray(self.cfg.eos, jnp.int32),
             self._next_key(),
         )
-        return np.asarray(tokens)[:, :B]
+        tokens = np.asarray(tokens)
+        if self.mesh is None:
+            return tokens[:, : len(groups[0])]
+        out = [tokens[:, gi, : len(g)] for gi, g in enumerate(groups)]
+        return out[0] if flat else out
 
     # ------------------------------------------------------------- main loop
 
@@ -723,9 +844,13 @@ class ModelRunner:
     ) -> EngineStats:
         """Continuous-batching master loop (reference:
         core/model_runner.py:246-338): interleave greedy prefill batches with
-        decode runs, refilling when occupancy drops."""
-        self.scheduler.add(seqs)
-        active: list[Sequence] = []
+        decode runs, refilling when occupancy drops. Under dp > 1, requests
+        are partitioned round-robin over groups and every dispatch runs the
+        groups' batches in lockstep in one compiled program."""
+        dp = self.dp
+        for gi in range(dp):
+            self.scheds[gi].add(seqs[gi::dp])
+        active: list[list[Sequence]] = [[] for _ in range(dp)]
         eos = self.cfg.eos
         compressing = not is_none_method(bp.compression_method)
         stats = EngineStats()
@@ -738,8 +863,8 @@ class ModelRunner:
         def is_done(s: Sequence, token: int) -> bool:
             return token == eos or s.num_completion_tokens >= s.sampling_params.max_new_tokens
 
-        def finish(s: Sequence):
-            self.scheduler.finish(s)
+        def finish(gi: int, s: Sequence):
+            self.scheds[gi].finish(s)
             if pbar is not None:
                 tput = (
                     (stats.prefill_tokens + stats.decode_tokens)
@@ -748,69 +873,95 @@ class ModelRunner:
                 pbar.set_description(f"generate ({tput:.0f} tok/s)")
                 pbar.update(1)
 
-        while not self.scheduler.is_finished():
-            batch, updates = self.scheduler.schedule_prefill()
-            if not batch and not active and self.scheduler.waiting:
+        def can_stack_more(gi: int) -> bool:
+            sched, alloc = self.scheds[gi], self.allocs[gi]
+            if not sched.waiting or alloc.num_free_slots == 0:
+                return False
+            return alloc.can_reserve(
+                min(
+                    sched.waiting[0].num_prompt_tokens
+                    + sched.waiting[0].sampling_params.max_new_tokens,
+                    self.cfg.max_model_len,
+                )
+            )
+
+        while not all(g.is_finished() for g in self.scheds):
+            batches, updates = zip(
+                *(g.schedule_prefill() for g in self.scheds)
+            )
+            any_active = any(active)
+            if not any(batches) and not any_active and any(
+                g.waiting for g in self.scheds
+            ):
                 raise RuntimeError(
                     "scheduler stuck: waiting sequences cannot be admitted "
                     "(KV pool too small for prompt + max_new_tokens?)"
                 )
-            if batch:
+            if any(batches):
                 t0 = time.perf_counter()
-                self.sync_page_table(updates)
-                tokens = self.run_prefill(batch, bp)
-                if compressing:
-                    self.reclaim_after_compression(batch)
+                for gi, upd in enumerate(updates):
+                    self.sync_page_table(upd, group=gi)
+                if dp == 1:
+                    g_tokens = [self.run_prefill(batches[0], bp)]
+                else:
+                    g_tokens = self.run_prefill(list(batches), bp)
+                for gi, batch in enumerate(batches):
+                    if compressing:
+                        self.reclaim_after_compression(batch, group=gi)
+                    for s, t in zip(batch, g_tokens[gi]):
+                        s.append_token(int(t))
+                        if is_done(s, int(t)):
+                            finish(gi, s)
+                        else:
+                            active[gi].append(s)
                 stats.prefill_time += time.perf_counter() - t0
-                stats.prefill_tokens += sum(s.num_prompt_tokens for s in batch)
+                stats.prefill_tokens += sum(
+                    s.num_prompt_tokens for b in batches for s in b
+                )
                 stats.num_prefill_batches += 1
-                for s, t in zip(batch, tokens):
-                    s.append_token(int(t))
-                    if is_done(s, int(t)):
-                        finish(s)
-                    else:
-                        active.append(s)
-                if self.scheduler.waiting and self.alloc.num_free_slots > 0:
+                if any(can_stack_more(gi) for gi in range(dp)):
                     # Stack more prefill while there is capacity
                     # (reference: model_runner.py:306,320-321).
-                    if self.alloc.can_reserve(
-                        min(
-                            self.scheduler.waiting[0].num_prompt_tokens
-                            + self.scheduler.waiting[0].sampling_params.max_new_tokens,
-                            self.cfg.max_model_len,
-                        )
-                    ):
-                        continue
+                    continue
 
-            refill_at = int(DECODE_OCCUPANCY * max(len(active), 1))
-            while active:
+            refill_at = int(
+                DECODE_OCCUPANCY * max(sum(len(a) for a in active), 1)
+            )
+            while any(active):
+                alive = [s for a in active for s in a]
                 chunk = min(
                     self.cfg.decode_loop_steps,
                     max(max(s.sampling_params.max_new_tokens
-                            - s.num_completion_tokens for s in active), 1),
+                            - s.num_completion_tokens for s in alive), 1),
                 )
                 t0 = time.perf_counter()
-                tokens = self.run_decode_loop(active, chunk)
+                if dp == 1:
+                    g_tokens = [self.run_decode_loop(active[0], chunk)]
+                else:
+                    g_tokens = self.run_decode_loop(list(active), chunk)
                 stats.decode_time += time.perf_counter() - t0
                 stats.num_decode_dispatches += 1
-                still = []
-                for i, s in enumerate(active):
-                    done = False
-                    for k in range(chunk):
-                        t = int(tokens[k, i])
-                        if t == -1:
-                            break
-                        s.append_token(t)
-                        stats.decode_tokens += 1
-                        if is_done(s, t):
-                            done = True
-                            break
-                    if done:
-                        finish(s)
-                    else:
-                        still.append(s)
-                active = still
-                if self.scheduler.waiting and len(active) <= refill_at:
+                for gi in range(dp):
+                    still = []
+                    for i, s in enumerate(active[gi]):
+                        done = False
+                        for k in range(chunk):
+                            t = int(g_tokens[gi][k, i])
+                            if t == -1:
+                                break
+                            s.append_token(t)
+                            stats.decode_tokens += 1
+                            if is_done(s, t):
+                                done = True
+                                break
+                        if done:
+                            finish(gi, s)
+                        else:
+                            still.append(s)
+                    active[gi] = still
+                if any(g.waiting for g in self.scheds) and (
+                    sum(len(a) for a in active) <= refill_at
+                ):
                     break
         if pbar is not None:
             pbar.close()

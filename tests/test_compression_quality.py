@@ -186,3 +186,33 @@ def test_compactor_scores_with_external_colmass_matches():
     np.testing.assert_allclose(
         np.asarray(got)[vm], np.asarray(want)[vm], rtol=1e-4, atol=1e-4
     )
+
+
+def test_snapkv_streaming_blocks_match_single_block():
+    """The two-pass streaming LSE must be invariant to the key block size
+    (block=max_q degenerates to the dense computation)."""
+    rng = np.random.default_rng(11)
+    T, H, G, D = 384, 2, 2, 16
+    lens = np.array([200, 97], np.int32)
+    starts = np.array([0, 208], np.int32)
+    seq_idx = np.zeros(T, np.int32)
+    in_pos = np.zeros(T, np.int32)
+    valid = np.zeros(T, bool)
+    for b in range(2):
+        sl = slice(starts[b], starts[b] + lens[b])
+        seq_idx[sl] = b
+        in_pos[sl] = np.arange(lens[b])
+        valid[sl] = True
+    q = jnp.asarray(rng.normal(size=(T, H * G, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(T, H, D)).astype(np.float32))
+    args = (
+        q, k, jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(seq_idx),
+        jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray([2, 2]), jnp.asarray([4, 4]),
+    )
+    dense = snapkv_scores(*args, max_q=256, key_block=256)
+    streamed = snapkv_scores(*args, max_q=256, key_block=32)
+    np.testing.assert_allclose(
+        np.asarray(streamed)[valid], np.asarray(dense)[valid],
+        rtol=2e-3, atol=1e-4,  # online LSE reorders fp sums across blocks
+    )

@@ -123,3 +123,63 @@ def test_tp2_with_compression_runs():
     )
     assert len(outs[0].completion_token_ids) == 4
     eng.runner.alloc.check_invariants()
+
+
+def make_engine_dp(spec, params, tp, dp):
+    cfg = LLMConfig(
+        max_num_seqs=8,
+        max_model_len=128,
+        kvcache_page_size=8,
+        num_kv_pages=128,
+        tensor_parallel_size=tp,
+        data_parallel_size=dp,
+        dtype="float32",
+        eos=-2,
+        seed=7,
+    )
+    return LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+
+
+def test_dp2_tp2_matches_dp1_greedy():
+    """Engine-level data parallelism: requests partitioned over 2 groups,
+    each with its own slots/pools, run in lockstep in one program — greedy
+    tokens must match the dp=1 engine exactly."""
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    out1 = make_engine_dp(spec, params, tp=1, dp=1).generate_from_sequences(
+        prompts(4, [17, 9, 30, 12], spec.vocab_size)
+    )
+    out2 = make_engine_dp(spec, params, tp=2, dp=2).generate_from_sequences(
+        prompts(4, [17, 9, 30, 12], spec.vocab_size)
+    )
+    for a, b in zip(out1, out2):
+        assert a.completion_token_ids == b.completion_token_ids
+
+
+def test_dp2_with_compression_reclaims_both_groups():
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    eng = make_engine_dp(spec, params, tp=1, dp=2)
+    free_before = [a.min_free_pages() for a in eng.runner.allocs]
+    rng = np.random.default_rng(5)
+    seqs = [
+        Sequence(
+            prompt_token_ids=rng.integers(0, spec.vocab_size, size=64).tolist(),
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=4),
+            compression_params=SequenceCompressionParams(
+                compression_ratio=0.5, protected_first_tokens=2,
+                protected_last_tokens=8,
+            ),
+        )
+        for _ in range(3)
+    ]
+    outs = eng.generate_from_sequences(
+        seqs,
+        BatchCompressionParams(
+            compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+        ),
+    )
+    assert all(len(o.completion_token_ids) == 4 for o in outs)
+    for a, before in zip(eng.runner.allocs, free_before):
+        a.check_invariants()
+        assert a.min_free_pages() == before
