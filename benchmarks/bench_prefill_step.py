@@ -1,0 +1,186 @@
+"""End-to-end prefill STEP attribution on the chip.
+
+Times the engine's actual compiled prefill program (forward + store +
+sampling) at the headline bench shapes under three compression variants:
+
+  none        — store_full, no scoring (the uncompressed floor)
+  unfused     — Compactor scoring with the dense jnp postrope pass
+  fused       — Compactor scoring with the in-kernel postrope column mass
+
+The none->unfused delta is the total compression cost; unfused->fused is the
+fused-scoring win. This is the measurement VERDICT item 1 asks to drive
+(compression <= 15% of prefill wall time).
+
+Usage: python benchmarks/bench_prefill_step.py [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compactor_vllm_tpu.config import (
+    AttentionBackend,
+    BatchCompressionParams,
+    CompressionMethod,
+    LLMConfig,
+    SamplingParams,
+    SequenceCompressionParams,
+)
+from compactor_vllm_tpu.core.runner import ModelRunner
+from compactor_vllm_tpu.models.transformer import ModelSpec, init_params
+from compactor_vllm_tpu.utils.sequence import Sequence
+
+PROMPT, B = 4096, 4  # one 16K-token bench batch
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spec = ModelSpec(
+        model_type="qwen3", num_layers=28, num_q_heads=16, num_kv_heads=8,
+        head_dim=128, hidden_size=2048, intermediate_size=6144,
+        vocab_size=151936, use_qk_norm=True, tie_word_embeddings=True,
+        rope_theta=1000000.0,
+    )
+    cfg = LLMConfig(
+        max_num_seqs=8, max_model_len=PROMPT + 192,
+        max_num_batched_tokens=16384, kvcache_page_size=64,
+        num_kv_pages=2600, eos=-1, prefill_token_buckets=(16384,),
+    )
+    log(f"device: {jax.devices()[0].device_kind}")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    runner = ModelRunner(cfg, spec, params)
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def run_variant(name, bp, force_fused=None):
+        # The jit cache keys on CompressionStatic, which cannot see the
+        # registry/impl monkeypatches of the isolation variants.
+        runner._fn_cache.clear()
+        seqs = [
+            Sequence(
+                prompt_token_ids=rng.integers(1, 50_000, size=PROMPT).tolist(),
+                sampling_params=SamplingParams(temperature=0.0, max_new_tokens=64),
+                compression_params=SequenceCompressionParams(
+                    compression_ratio=0.5, protected_first_tokens=16,
+                    protected_last_tokens=64,
+                ),
+            )
+            for _ in range(B)
+        ]
+        for gi, s in enumerate(seqs):
+            runner.allocs[0].alloc_slot(s.seq_id)
+            runner.allocs[0].reserve(s.seq_id, PROMPT + 64)
+        runner.sync_page_table(
+            [type("U", (), {"slot": runner.allocs[0].slot_of_seq[s.seq_id]})()
+             for s in seqs]
+        )
+        if force_fused is not None:
+            orig = ModelRunner._comp_static
+
+            def patched(self, bp_, seqs_):
+                comp = orig(self, bp_, seqs_)
+                from dataclasses import replace
+                return replace(comp, fused_postrope=force_fused)
+
+            ModelRunner._comp_static = patched
+        try:
+            # Warmup (compile) + timed repeats; the cache pytree is donated, so
+            # chain the returned cache through calls.
+            def reset():
+                for s in seqs:
+                    s.num_prefilled_tokens = 0
+
+            t0 = time.perf_counter()
+            runner.run_prefill(seqs, bp)
+            jax.block_until_ready(runner.cache.bh_lens)
+            log(f"  {name}: warmup {time.perf_counter() - t0:.1f}s")
+            ts = []
+            for _ in range(repeats):
+                reset()
+                t0 = time.perf_counter()
+                runner.run_prefill(seqs, bp)
+                jax.block_until_ready(runner.cache.bh_lens)
+                ts.append(time.perf_counter() - t0)
+        finally:
+            if force_fused is not None:
+                ModelRunner._comp_static = orig
+            for s in seqs:
+                runner.allocs[0].release_slot(s.seq_id)
+        dt = float(np.median(ts))
+        log(f"  {name}: {dt * 1e3:.1f} ms/step ({B * PROMPT / dt:.0f} tok/s)")
+        results[name] = dt * 1e3
+        return dt
+
+    log("compiling + timing variants...")
+    run_variant("none", BatchCompressionParams(CompressionMethod.NONE))
+    run_variant(
+        "compactor_unfused",
+        BatchCompressionParams(CompressionMethod.COMPACTOR),
+        force_fused=False,
+    )
+    run_variant(
+        "compactor_fused",
+        BatchCompressionParams(CompressionMethod.COMPACTOR),
+        force_fused=True,
+    )
+
+    # ---- isolation variants ------------------------------------------------
+    # (a) dummy scoring: trivial [T, H] scores -> isolates topk + store + glue.
+    from compactor_vllm_tpu.compression import COMPRESSION_REGISTRY, ScoringMethod
+
+    def dummy_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                    postrope_colmass=None):
+        return k_post[:, :, 0].astype(jnp.float32)
+
+    orig_m = COMPRESSION_REGISTRY["compactor"]
+    COMPRESSION_REGISTRY["compactor"] = ScoringMethod(score=dummy_score)
+    try:
+        run_variant(
+            "dummy_score",
+            BatchCompressionParams(CompressionMethod.COMPACTOR),
+        )
+    finally:
+        COMPRESSION_REGISTRY["compactor"] = orig_m
+
+    # (b) store probe: real scoring + topk, but the compressed store is
+    # replaced by a full store plus a data dependency that keeps the
+    # selection alive -> isolates the store_topk gather/sort/searchsorted/DMA.
+    attn = runner.attn
+    orig_store = attn.store_topk
+
+    def store_probe(geom, cache, layer, k, v, idx, valid_k, meta):
+        cache = attn.store_full(geom, cache, layer, k, v, meta)
+        keep = jnp.minimum(idx.max() + valid_k.sum(), 0).astype(jnp.int32)
+        return cache._replace(bh_lens=cache.bh_lens + keep)
+
+    object.__setattr__(attn, "store_topk", store_probe)
+    try:
+        run_variant(
+            "score_topk_no_store",
+            BatchCompressionParams(CompressionMethod.COMPACTOR),
+            force_fused=True,
+        )
+    finally:
+        object.__setattr__(attn, "store_topk", orig_store)
+    base = results["none"]
+    for k in ("compactor_unfused", "compactor_fused"):
+        results[f"{k}_overhead_pct"] = 100.0 * (results[k] - base) / results[k]
+        log(f"  {k}: compression = {results[f'{k}_overhead_pct']:.1f}% of step")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

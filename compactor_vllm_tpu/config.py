@@ -124,6 +124,12 @@ class LLMConfig:
     max_num_seqs: int = 64
     max_model_len: int = 4096
     max_num_batched_tokens: int = 16384
+    # Chunked prefill: prompts longer than max_num_batched_tokens prefill in
+    # page-aligned chunks (the attention kernel's phase-1 page walk covers the
+    # already-cached prefix). Decouples the batch token budget — and so peak
+    # activation memory — from max_model_len. Incompatible with KV
+    # compression, whose scoring needs the whole prompt's K in one batch.
+    enable_chunked_prefill: bool = False
 
     # KV cache geometry.
     kvcache_page_size: int = 64
@@ -166,8 +172,14 @@ class LLMConfig:
         ), "page size must be a power of two >= 8"
         assert 1 <= self.tensor_parallel_size <= 64
         assert 0.0 < self.hbm_utilization <= 1.0
-        # No chunked prefill yet: a whole prompt must fit in one prefill batch.
-        self.max_num_batched_tokens = max(self.max_num_batched_tokens, self.max_model_len)
+        if not self.enable_chunked_prefill:
+            # Without chunked prefill a whole prompt must fit one batch.
+            self.max_num_batched_tokens = max(
+                self.max_num_batched_tokens, self.max_model_len
+            )
+        else:
+            # Chunks are 8-page aligned (store-group granularity).
+            assert self.max_num_batched_tokens >= 8 * self.kvcache_page_size
         if not self.prefill_token_buckets:
             buckets = []
             b = 256
@@ -176,9 +188,13 @@ class LLMConfig:
                 b *= 2
             buckets.append(self.max_num_batched_tokens)
             self.prefill_token_buckets = tuple(buckets)
-        # Buckets define prefill token capacity: they must cover a whole
-        # prompt, and the batch budget must never exceed the largest bucket.
-        if self.prefill_token_buckets[-1] < self.max_model_len:
+        # Buckets define prefill token capacity: without chunked prefill they
+        # must cover a whole prompt, and the batch budget must never exceed
+        # the largest bucket.
+        if (
+            not self.enable_chunked_prefill
+            and self.prefill_token_buckets[-1] < self.max_model_len
+        ):
             self.prefill_token_buckets = self.prefill_token_buckets + (self.max_model_len,)
         self.max_num_batched_tokens = min(
             self.max_num_batched_tokens, self.prefill_token_buckets[-1]

@@ -155,7 +155,10 @@ class ModelRunner:
                 )
             else:
                 max_cache = cfg.max_pages_per_head * cfg.kvcache_page_size
-                attention_impl = reference_attention_impl(0, max_cache)
+                # The oracle's prefill gathers the cached prefix densely only
+                # when chunked prefill can leave one behind.
+                pre_cache = max_cache if cfg.enable_chunked_prefill else 0
+                attention_impl = reference_attention_impl(pre_cache, max_cache)
         self.attn = attention_impl
         self._fn_cache: dict = {}
         num_pages = cfg.num_kv_pages or self._derive_num_pages(
@@ -454,7 +457,7 @@ class ModelRunner:
         def spec_for(f):
             if f == "phi":
                 return P()
-            if f == "contig8":
+            if f in ("contig8", "store_contig"):
                 return P(AXIS_DP, None, AXIS_TP, None)
             return P(AXIS_DP)
 
@@ -632,27 +635,40 @@ class ModelRunner:
 
     # ------------------------------------------------------------- execution
 
+    @staticmethod
+    def _chunk_len(s: Sequence) -> int:
+        """Tokens this prefill dispatch covers for `s`: the scheduler-granted
+        chunk, or the whole un-prefilled prompt (direct callers)."""
+        return s.prefill_chunk or (s.num_prompt_tokens - s.num_prefilled_tokens)
+
     def _prefill_group_arrays(self, seqs, group, t_pad, b_pad, starts, off):
         """Host-side packed arrays for one dp group's prefill batch."""
         B = len(seqs)
-        lens = [s.num_prompt_tokens for s in seqs]
+        lens = [self._chunk_len(s) for s in seqs]
+        cached = [s.num_prefilled_tokens for s in seqs]
         a = {}
         a["seq_starts"] = np.full(b_pad, off, np.int32)
         a["seq_starts"][:B] = starts
         a["seq_lens"] = np.zeros(b_pad, np.int32)
         a["seq_lens"][:B] = lens
+        a["cached_lens"] = np.zeros(b_pad, np.int32)
+        a["cached_lens"][:B] = cached
         ids = np.zeros(t_pad, np.int32)
         seq_idx = np.zeros(t_pad, np.int32)
         in_pos = np.zeros(t_pad, np.int32)
+        rope_pos = np.zeros(t_pad, np.int32)
         valid = np.zeros(t_pad, bool)
         for i, s in enumerate(seqs):
             sl = slice(starts[i], starts[i] + lens[i])
-            ids[sl] = s.prompt_token_ids
+            ids[sl] = s.prompt_token_ids[cached[i] : cached[i] + lens[i]]
             seq_idx[sl] = i
+            # Chunk-relative positions drive the store/scoring layout; RoPE
+            # positions are absolute within the sequence.
             in_pos[sl] = np.arange(lens[i])
+            rope_pos[sl] = cached[i] + np.arange(lens[i])
             valid[sl] = True
         a["input_ids"], a["token_seq_idx"] = ids, seq_idx
-        a["positions"] = a["token_in_pos"] = in_pos
+        a["positions"], a["token_in_pos"] = rope_pos, in_pos
         a["token_valid"] = valid
         slots = np.zeros(b_pad, np.int32)
         retain = np.ones(b_pad, np.int32)
@@ -668,6 +684,15 @@ class ModelRunner:
         a["slots"], a["retain"] = slots, retain
         a["protected_first"], a["protected_last"] = pf, pl
         a["seq_valid"] = np.arange(b_pad) < B
+        from compactor_vllm_tpu.ops.pallas_attention import STORE_GROUP
+
+        ng = cdiv(self.geom.max_pages_per_head, STORE_GROUP)
+        contig = np.zeros((b_pad, self.spec.num_kv_heads, ng), np.int32)
+        for i, s in enumerate(seqs):
+            contig[i] = self.allocs[group].contig_groups(
+                self.allocs[group].slot_of_seq[s.seq_id], STORE_GROUP
+            )
+        a["store_contig"] = contig
         return a, temps
 
     def run_prefill(self, seqs, bp: BatchCompressionParams):
@@ -689,7 +714,7 @@ class ModelRunner:
             off = 0
             for i, s in enumerate(g):
                 starts[i] = off
-                off = cdiv(off + s.num_prompt_tokens, align) * align
+                off = cdiv(off + self._chunk_len(s), align) * align
             g_starts.append(starts)
             g_offs.append(off)
         t_pad = _bucket(max(g_offs), self.cfg.prefill_token_buckets)
@@ -729,6 +754,12 @@ class ModelRunner:
         self.cache, tokens = fn(
             self.params, self.cache, meta, temps, self._next_key()
         )
+        # Advance chunked-prefill progress (full-prompt dispatches land
+        # exactly at the prompt end).
+        for g in groups:
+            for s in g:
+                s.num_prefilled_tokens += self._chunk_len(s)
+                s.prefill_chunk = 0
         tokens = np.asarray(tokens)
         if self.mesh is None:
             return tokens[: len(groups[0])]
@@ -848,7 +879,21 @@ class ModelRunner:
         are partitioned round-robin over groups and every dispatch runs the
         groups' batches in lockstep in one compiled program."""
         dp = self.dp
+        chunking = self.cfg.enable_chunked_prefill and is_none_method(
+            bp.compression_method
+        )
+        if not chunking:
+            for s in seqs:
+                if s.num_prompt_tokens > self.cfg.max_num_batched_tokens:
+                    raise ValueError(
+                        f"prompt of {s.num_prompt_tokens} tokens exceeds "
+                        f"max_num_batched_tokens="
+                        f"{self.cfg.max_num_batched_tokens}; KV compression "
+                        "requires whole-prompt prefill (enable chunked "
+                        "prefill only for uncompressed runs)"
+                    )
         for gi in range(dp):
+            self.scheds[gi].allow_chunking = chunking
             self.scheds[gi].add(seqs[gi::dp])
         active: list[list[Sequence]] = [[] for _ in range(dp)]
         eos = self.cfg.eos
@@ -875,7 +920,11 @@ class ModelRunner:
 
         def can_stack_more(gi: int) -> bool:
             sched, alloc = self.scheds[gi], self.allocs[gi]
-            if not sched.waiting or alloc.num_free_slots == 0:
+            if not sched.waiting:
+                return False
+            if sched.waiting[0].num_prefilled_tokens > 0:
+                return True  # mid-prompt chunk: slot + pages already held
+            if alloc.num_free_slots == 0:
                 return False
             return alloc.can_reserve(
                 min(
@@ -899,6 +948,9 @@ class ModelRunner:
                 )
             if any(batches):
                 t0 = time.perf_counter()
+                chunk_tokens = sum(
+                    self._chunk_len(s) for b in batches for s in b
+                )
                 for gi, upd in enumerate(updates):
                     self.sync_page_table(upd, group=gi)
                 if dp == 1:
@@ -909,15 +961,15 @@ class ModelRunner:
                     if compressing:
                         self.reclaim_after_compression(batch, group=gi)
                     for s, t in zip(batch, g_tokens[gi]):
+                        if s.num_prefilled_tokens < s.num_prompt_tokens:
+                            continue  # mid-prompt chunk: no token sampled yet
                         s.append_token(int(t))
                         if is_done(s, int(t)):
                             finish(gi, s)
                         else:
                             active[gi].append(s)
                 stats.prefill_time += time.perf_counter() - t0
-                stats.prefill_tokens += sum(
-                    s.num_prompt_tokens for b in batches for s in b
-                )
+                stats.prefill_tokens += chunk_tokens
                 stats.num_prefill_batches += 1
                 if any(can_stack_more(gi) for gi in range(dp)):
                     # Stack more prefill while there is capacity

@@ -21,6 +21,10 @@ class Scheduler:
         self.cfg = cfg
         self.alloc = alloc
         self.waiting: deque[Sequence] = deque()
+        # Chunked prefill gate: set per generate() call by the runner —
+        # compression needs whole-prompt batches, so chunking is disabled
+        # when a compressing BatchCompressionParams is active.
+        self.allow_chunking = cfg.enable_chunked_prefill
         self.running: dict[int, Sequence] = {}
         self.num_finished = 0
         self.total = 0
@@ -54,29 +58,60 @@ class Scheduler:
         return not self.waiting and not self.running
 
     def schedule_prefill(self) -> tuple[list[Sequence], list[SlotUpdate]]:
-        """Pop a prefill batch; allocates slots + pages as it goes."""
+        """Pop a prefill batch; allocates slots + pages as it goes.
+
+        With `enable_chunked_prefill`, a prompt longer than the remaining
+        token budget is granted a page-aligned partial chunk
+        (`seq.prefill_chunk`); the sequence stays at the head of the queue
+        until its final chunk (slot + full page reservation happen at the
+        first chunk, so later chunks can never fail admission)."""
         batch: list[Sequence] = []
         updates: list[SlotUpdate] = []
+        budget = self.cfg.max_num_batched_tokens
+        # Non-final chunks end on an 8-page boundary: whole pages for the
+        # cached prefix AND group alignment for the store kernel's
+        # contiguous-run DMAs (pallas_attention.STORE_GROUP).
+        page = 8 * self.cfg.kvcache_page_size
         tokens = 0
         while self.waiting:
             seq = self.waiting[0]
-            total_len = min(
-                seq.num_prompt_tokens + seq.sampling_params.max_new_tokens,
-                self.cfg.max_model_len,
-            )
-            if batch and tokens + seq.num_prompt_tokens > self.cfg.max_num_batched_tokens:
-                break
-            if len(batch) + 1 > self.cfg.max_num_seqs:
-                break
-            if self.alloc.num_free_slots == 0 or not self.alloc.can_reserve(total_len):
-                break
-            self.waiting.popleft()
-            self.alloc.alloc_slot(seq.seq_id)
-            updates.append(self.alloc.reserve(seq.seq_id, total_len))
-            seq.status = SequenceStatus.RUNNING
-            self.running[seq.seq_id] = seq
+            remaining = seq.num_prompt_tokens - seq.num_prefilled_tokens
+            take = remaining
+            if tokens + take > budget:
+                if not self.allow_chunking:
+                    if batch:
+                        break
+                    # Single-shot mode admits one whole prompt per batch even
+                    # if it exceeds the budget (budget >= max_model_len by
+                    # config, so this cannot happen in practice).
+                else:
+                    # Page-aligned partial chunk (non-final chunks must end on
+                    # a page boundary so the cached prefix fills whole pages).
+                    take = ((budget - tokens) // page) * page
+                    if take <= 0:
+                        break
+            first_chunk = seq.num_prefilled_tokens == 0
+            if first_chunk:
+                total_len = min(
+                    seq.num_prompt_tokens + seq.sampling_params.max_new_tokens,
+                    self.cfg.max_model_len,
+                )
+                if len(batch) + 1 > self.cfg.max_num_seqs:
+                    break
+                if self.alloc.num_free_slots == 0 or not self.alloc.can_reserve(
+                    total_len
+                ):
+                    break
+                self.alloc.alloc_slot(seq.seq_id)
+                updates.append(self.alloc.reserve(seq.seq_id, total_len))
+                seq.status = SequenceStatus.RUNNING
+                self.running[seq.seq_id] = seq
+            seq.prefill_chunk = take
             batch.append(seq)
-            tokens += seq.num_prompt_tokens
+            tokens += take
+            if take < remaining:
+                break  # partial chunk exhausted the budget; seq stays queued
+            self.waiting.popleft()
         return batch, updates
 
     def finish(self, seq: Sequence) -> None:

@@ -157,6 +157,14 @@ class PrefillMeta(NamedTuple):
     protected_first: jax.Array  # [Bp] i32
     protected_last: jax.Array  # [Bp] i32
     phi: jax.Array  # [D, sketch]
+    # Chunked prefill: per-sequence count of already-cached prompt tokens
+    # (page-aligned; uniform across heads since chunked prefill is
+    # uncompressed). None => fresh prefill.
+    cached_lens: jax.Array | None = None  # [Bp] i32
+    # [Bp, H, ceil(maxp/STORE_GROUP)] i32: consecutive-ascending-run flags of
+    # each slot's reserved pages (PageAllocator.contig_groups) — the Pallas
+    # store moves a whole group per DMA when set. None => per-page DMAs.
+    store_contig: jax.Array | None = None
 
 
 class DecodeMeta(NamedTuple):
@@ -217,12 +225,28 @@ class AttentionImpl:
     prefill_scored: Callable[..., tuple] | None = None
 
 
+def prefill_cached_lens(meta: PrefillMeta, num_kv_heads: int) -> jax.Array:
+    """Pre-store cached-length snapshot [Bp, H]: zero for fresh prefills, the
+    already-prefilled prefix for chunked-prefill continuations (uniform
+    across heads — chunked prefill is uncompressed)."""
+    Bp = meta.slots.shape[0]
+    if meta.cached_lens is None:
+        return jnp.zeros((Bp, num_kv_heads), jnp.int32)
+    return jnp.broadcast_to(
+        meta.cached_lens.astype(jnp.int32)[:, None], (Bp, num_kv_heads)
+    )
+
+
 def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
     def prefill(geom, cache, layer, q, k, v, meta: PrefillMeta, sm_scale, max_q):
         return ref_prefill_attention(
             geom, cache, layer, q, k, v, meta.seq_starts, meta.seq_lens,
             meta.slots, max_q=max_q, max_cache_len=max_cache_len_prefill,
             sm_scale=sm_scale,
+            # Pre-store snapshot: chunked-prefill continuations must not see
+            # this chunk's freshly stored rows in the cached phase.
+            cached_lens=prefill_cached_lens(meta, geom.num_kv_heads)
+            if max_cache_len_prefill > 0 else None,
         )
 
     def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale,
@@ -318,9 +342,7 @@ def _attention_block(
 
     if is_prefill:
         m: PrefillMeta = meta
-        cached_lens = jnp.zeros(
-            (m.slots.shape[0], spec.num_kv_heads), jnp.int32
-        )  # fresh prefill: every sequence starts with an empty cache
+        cached_lens = prefill_cached_lens(m, spec.num_kv_heads)
         if comp.is_none:
             if attn.store_full is not None:
                 cache = attn.store_full(geom, cache, layer, k, v, m)

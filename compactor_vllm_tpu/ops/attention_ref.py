@@ -149,11 +149,18 @@ def ref_prefill_attention(
     max_q: int,
     max_cache_len: int,
     sm_scale: float,
+    cached_lens: jax.Array | None = None,  # [Bp, H] pre-store snapshot
 ) -> jax.Array:
-    """Oracle varlen prefill attention over [paged cache ‖ new tokens]."""
+    """Oracle varlen prefill attention over [paged cache ‖ new tokens].
+
+    `cached_lens` overrides the cache's bh_lens (chunked prefill stores the
+    chunk before attending; the snapshot keeps the cached phase bounded to
+    the previous chunks)."""
     T = q.shape[0]
     if max_cache_len > 0:
-        k_c, v_c, lens = gather_cache_dense(geom, state, layer, slots, max_cache_len)
+        k_c, v_c, lens = gather_cache_dense(
+            geom, state, layer, slots, max_cache_len, lens_l=cached_lens
+        )
     else:
         Bp = slots.shape[0]
         H, D = k_new.shape[1], k_new.shape[2]

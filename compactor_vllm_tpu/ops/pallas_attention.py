@@ -254,7 +254,10 @@ def _prefill_kernel(
             # each 128-token scoring chunk of this tile attends non-causally
             # within itself. The chunk's keys are ALWAYS resident in the key
             # tile of the final phase-2 iteration (the causal on-band end is
-            # the chunk), so no extra HBM traffic is needed.
+            # the chunk), so no extra HBM traffic is needed. The score DMAs
+            # start here but are only awaited at program end, overlapped with
+            # the epilogue + output DMA (an inline wait costs a round-trip
+            # per program — measured to cancel the fused-scoring win).
             CHUNK = 128
             last_slot = jax.lax.rem(num_pages + n_end - 1, 2)
             tile_k0 = (n_end - 1) * TN  # sequence-relative first key of tile
@@ -286,15 +289,13 @@ def _prefill_kernel(
                 ) // G
                 p2 = jnp.where(qrow < seq_len, p2, 1.0 / CHUNK)
                 p2 = jnp.where(col_ok, p2, 0.0)
-                sc_buf[0, :] = jnp.sum(p2, axis=0)
+                sc_buf[c, 0, :] = jnp.sum(p2, axis=0)
                 # seq_start is a multiple of the (>=128) query tile, so the
                 # packed chunk index is exact.
                 cidx = (seq_start + qc0) // CHUNK
-                sc_dma = pltpu.make_async_copy(
-                    sc_buf, sc_hbm.at[h, cidx], sems.at[9]
-                )
-                sc_dma.start()
-                sc_dma.wait()
+                pltpu.make_async_copy(
+                    sc_buf.at[c], sc_hbm.at[h, cidx], sems.at[9 + c]
+                ).start()
 
         l = l_ref[...]
         out = acc_ref[...] / jnp.where(l > 0, l, 1.0)
@@ -303,6 +304,13 @@ def _prefill_kernel(
             o_buf, o_hbm.at[h, pl.ds(row0, R), :], sems.at[0]
         )
         o_dma.start()
+        if score_chunks:
+            for c in range(TM // CHUNK):
+                qc0 = q0 + c * CHUNK
+                cidx = (seq_start + qc0) // CHUNK
+                pltpu.make_async_copy(
+                    sc_buf.at[c], sc_hbm.at[h, cidx], sems.at[9 + c]
+                ).wait()
         o_dma.wait()
 
 
@@ -383,9 +391,9 @@ def paged_prefill_attention(
             pltpu.VMEM((TM * G, D), jnp.float32),
             pltpu.VMEM((TM * G, 1), jnp.float32),
             pltpu.VMEM((TM * G, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((9 + max(2, TM // 128),)),
         ]
-        + ([pltpu.VMEM((1, 128), jnp.float32)] if score_chunks else []),
+        + ([pltpu.VMEM((TM // 128, 1, 128), jnp.float32)] if score_chunks else []),
     )
     outs = pl.pallas_call(
         kernel,
@@ -651,71 +659,156 @@ def paged_decode_attention(
 # ------------------------------------------------------------------- store
 
 
+STORE_GROUP = 8  # pages per store DMA group (allocator contig-run granularity)
+
+
 def _store_kernel(
     srow_ref,  # [Bp, H] i32: first src row of (b, h)'s segment
     cnt_ref,  # [Bp, H] i32: tokens to store for (b, h)
     pt_ref,  # [Bp, H, maxp] i32
+    page0_ref,  # [Bp, H] i32: first destination page column (chunked prefill)
+    contig_ref,  # [Bp, H, ceil(maxp/GROUP)] i32 consecutive-run flags
     base_ref,  # [1] i32
-    ks_hbm,  # [N, D] source K rows (segment-contiguous per (b, h))
-    vs_hbm,  # [N, D]
-    kp_in,  # [rows, D] (aliased to outputs)
-    vp_in,
-    kp_out,  # [rows, D] == kp_in
-    vp_out,
-    sems,  # DMA [4, 2]
-    *,
+    # fused: kvs_hbm [N, 2D] ([:, :D] = K, [:, D:] = V); else ks_hbm, vs_hbm
+    *refs,  # sources, kp_in, vp_in, kp_out, vp_out, sems
     page_size: int,
+    fused: bool,
 ):
-    """Page-granular HBM->HBM cache store.
+    """Page-group-granular HBM->HBM cache store.
 
-    Replaces XLA row scatters (which serialize at ~175ns/row on TPU) with one
-    DMA per destination page. Sources must be segment-contiguous per (b, h)
+    Replaces XLA row scatters (which serialize at ~175ns/row on TPU) with
+    DMAs: when the allocator handed out a consecutive ascending page run
+    (PageAllocator.contig_groups — the common case for fresh reservations),
+    a whole STORE_GROUP-page group moves in ONE DMA; otherwise one DMA per
+    page. Per-page DMA latency made the all-pages version ~28 GB/s; grouped
+    runs cut the DMA count 8x. Sources must be segment-contiguous per (b, h)
     with 8-row-aligned segment starts; whole pages are copied, so the tail of
     the last page carries garbage rows — harmless, since bh_lens bounds every
     reader, and the page is owned by this head. Destination positions start
-    at 0 (fresh prefill; reference stores into freshly reserved pages too,
-    store_kv_cache.py:81-175, 252-371).
+    at page column page0 (0 for fresh prefill; the cached-prefix page count
+    for chunked-prefill continuations, whose chunks are 8-page-aligned).
+    Reference stores into freshly reserved pages too
+    (store_kv_cache.py:81-175, 252-371).
     """
+    if fused:
+        kvs_hbm, kp_in, vp_in, kp_out, vp_out, sems = refs
+        D = kp_out.shape[-1]
+
+        def ksrc(start, n):
+            return kvs_hbm.at[pl.ds(start, n), pl.ds(0, D)]
+
+        def vsrc(start, n):
+            return kvs_hbm.at[pl.ds(start, n), pl.ds(D, D)]
+    else:
+        ks_hbm, vs_hbm, kp_in, vp_in, kp_out, vp_out, sems = refs
+
+        def ksrc(start, n):
+            return ks_hbm.at[pl.ds(start, n), :]
+
+        def vsrc(start, n):
+            return vs_hbm.at[pl.ds(start, n), :]
+
     b = pl.program_id(0)
     h = pl.program_id(1)
+    GP = STORE_GROUP
     base = base_ref[0]
     n = cnt_ref[b, h]
+    p0 = page0_ref[b, h]
     npages = pl.cdiv(n, page_size)
+    ngroups = pl.cdiv(npages, GP)
+    # Contig flags index absolute page columns; they only line up when the
+    # destination offset is group-aligned (guaranteed: chunked-prefill chunks
+    # are multiples of GROUP pages, fresh prefills start at 0).
     RING = 4
 
-    def dma(slot, j):
-        src = pl.multiple_of(srow_ref[b, h] + j * page_size, 8)
-        dst = pl.multiple_of(base + pt_ref[b, h, j] * page_size, page_size)
+    def page_dma(slot, g, j):
+        src = pl.multiple_of(srow_ref[b, h] + (g * GP + j) * page_size, 8)
+        dst = pl.multiple_of(
+            base + pt_ref[b, h, p0 + g * GP + j] * page_size, page_size
+        )
         return (
             pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(src, page_size), :],
+                ksrc(src, page_size),
                 kp_out.at[pl.ds(dst, page_size), :],
-                sems.at[slot, 0],
+                sems.at[slot, j, 0],
             ),
             pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(src, page_size), :],
+                vsrc(src, page_size),
                 vp_out.at[pl.ds(dst, page_size), :],
-                sems.at[slot, 1],
+                sems.at[slot, j, 1],
             ),
         )
 
-    def body(j, _):
-        # Drain the ring slot before reusing its semaphore.
-        @pl.when(j >= RING)
-        def _():
-            kd, vd = dma(jax.lax.rem(j, RING), j - RING)
-            kd.wait()
-            vd.wait()
+    def run_dma(slot, g):
+        src = pl.multiple_of(srow_ref[b, h] + g * GP * page_size, 8)
+        dst = pl.multiple_of(
+            base + pt_ref[b, h, p0 + g * GP] * page_size, page_size
+        )
+        return (
+            pltpu.make_async_copy(
+                ksrc(src, GP * page_size),
+                kp_out.at[pl.ds(dst, GP * page_size), :],
+                sems.at[slot, 0, 0],
+            ),
+            pltpu.make_async_copy(
+                vsrc(src, GP * page_size),
+                vp_out.at[pl.ds(dst, GP * page_size), :],
+                sems.at[slot, 0, 1],
+            ),
+        )
 
-        @pl.when(j < npages)
+    def is_run(g):
+        return (
+            (contig_ref[b, h, (p0 // GP) + g] != 0)
+            & ((g + 1) * GP <= npages)
+            & (jax.lax.rem(p0, GP) == 0)
+        )
+
+    def start_group(slot, g):
+        @pl.when(is_run(g))
         def _():
-            kd, vd = dma(jax.lax.rem(j, RING), j)
+            kd, vd = run_dma(slot, g)
             kd.start()
             vd.start()
 
+        @pl.when(jnp.logical_not(is_run(g)))
+        def _():
+            for j in range(GP):
+                @pl.when(g * GP + j < npages)
+                def _():
+                    kd, vd = page_dma(slot, g, j)
+                    kd.start()
+                    vd.start()
+
+    def wait_group(slot, g):
+        @pl.when(is_run(g))
+        def _():
+            kd, vd = run_dma(slot, g)
+            kd.wait()
+            vd.wait()
+
+        @pl.when(jnp.logical_not(is_run(g)))
+        def _():
+            for j in range(GP):
+                @pl.when(g * GP + j < npages)
+                def _():
+                    kd, vd = page_dma(slot, g, j)
+                    kd.wait()
+                    vd.wait()
+
+    def body(g, _):
+        # Drain the ring slot before reusing its semaphores.
+        @pl.when(g >= RING)
+        def _():
+            wait_group(jax.lax.rem(g, RING), g - RING)
+
+        @pl.when(g < ngroups)
+        def _():
+            start_group(jax.lax.rem(g, RING), g)
+
         return 0
 
-    jax.lax.fori_loop(0, npages + RING, body, 0)
+    jax.lax.fori_loop(0, ngroups + RING, body, 0)
 
 
 def paged_store_prefill(
@@ -729,22 +822,36 @@ def paged_store_prefill(
     row_base: jax.Array,
     *,
     page_size: int,
+    dst_page0: jax.Array | None = None,  # [Bp, H] first dest page column
+    store_contig: jax.Array | None = None,  # [Bp, H, ceil(maxp/GROUP)] run flags
     interpret: bool = False,
 ):
     """Returns updated (k_pages, v_pages); the cache buffers are aliased
-    in-place."""
+    in-place. `v_src=None` marks a fused source: `k_src` is [N, 2D] with K in
+    the first D lanes and V in the second (one host gather for both)."""
     Bp, H = counts.shape
-    kernel = functools.partial(_store_kernel, page_size=page_size)
+    fused = v_src is None
+    if dst_page0 is None:
+        dst_page0 = jnp.zeros((Bp, H), jnp.int32)
+    ng = -(-page_table.shape[2] // STORE_GROUP)
+    if store_contig is None:
+        store_contig = jnp.zeros((Bp, H, ng), jnp.int32)
+    else:
+        store_contig = store_contig[:, :, :ng]
+    kernel = functools.partial(_store_kernel, page_size=page_size, fused=fused)
+    n_src = 1 if fused else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(Bp, H),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        * (n_src + 2),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4, 2))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4, STORE_GROUP, 2))],
     )
+    srcs = (k_src,) if fused else (k_src, v_src)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -752,15 +859,18 @@ def paged_store_prefill(
             jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
             jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
         ),
-        input_output_aliases={6: 0, 7: 1},  # kp/vp inputs (after 4 scalars)
+        # kp/vp inputs follow the 6 scalars + sources.
+        input_output_aliases={6 + n_src: 0, 7 + n_src: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         src_row_start.astype(jnp.int32),
         counts.astype(jnp.int32),
         page_table.astype(jnp.int32),
+        dst_page0.astype(jnp.int32),
+        store_contig.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        k_src, v_src, k_pages, v_pages,
+        *srcs, k_pages, v_pages,
     )
 
 
@@ -770,18 +880,23 @@ def paged_store_prefill(
 def pallas_attention_impl(interpret: bool = False):
     """AttentionImpl backed by the Pallas kernels (AttentionBackend.PALLAS).
 
-    Engine prefills are always fresh sequences (no prefix caching yet), so the
-    cached-length snapshot is zero and phase 1 is skipped dynamically — the
-    same call shape the reference uses (layers/attention.py:45-52 snapshots
-    pre-store lens; the engine's are always zero at prefill).
+    The cached-length snapshot (meta.cached_lens) is zero for fresh prefills
+    — phase 1 is skipped dynamically — and the page-aligned prefix length for
+    chunked-prefill continuations, which walk the cached pages in phase 1
+    (reference analog: layers/attention.py:45-52 snapshots pre-store lens).
     """
     from compactor_vllm_tpu.models.transformer import AttentionImpl
 
     def _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
                  score_chunks=False):
+        from compactor_vllm_tpu.models.transformer import prefill_cached_lens
+
         pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
         pt = pt_l[meta.slots]  # [Bp, H, maxp]
-        clens = jnp.zeros((meta.slots.shape[0], geom.num_kv_heads), jnp.int32)
+        # Pre-store snapshot: zero for fresh prefills; the previous chunks'
+        # page-aligned length for chunked-prefill continuations (phase 1 of
+        # the kernel walks exactly those pages).
+        clens = prefill_cached_lens(meta, geom.num_kv_heads)
         return paged_prefill_attention(
             q, k, v, cache.k_pages, cache.v_pages, pt, clens,
             meta.seq_starts, meta.seq_lens,
@@ -804,15 +919,19 @@ def pallas_attention_impl(interpret: bool = False):
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )
 
-    def _finish_store(geom, cache, layer, kp, vp, slots, counts, seq_valid):
+    def _finish_store(geom, cache, layer, kp, vp, slots, new_lens, seq_valid):
         from compactor_vllm_tpu.kv_cache.state import _update_lens
 
-        bh_lens = _update_lens(cache.bh_lens, layer, slots, counts, seq_valid)
+        bh_lens = _update_lens(cache.bh_lens, layer, slots, new_lens, seq_valid)
         return cache._replace(k_pages=kp, v_pages=vp, bh_lens=bh_lens)
 
     def store_full(geom, cache, layer, k, v, meta):
         """Uncompressed prefill store: per (seq, head) the source tokens are
-        contiguous in the head-major view, one DMA per destination page."""
+        contiguous in the head-major view, one DMA per destination page.
+        Chunked-prefill continuations append at the cached page boundary
+        (chunks are page-aligned)."""
+        from compactor_vllm_tpu.models.transformer import prefill_cached_lens
+
         T, H, D = k.shape
         Bp = meta.slots.shape[0]
         pt = jax.lax.dynamic_index_in_dim(
@@ -825,13 +944,15 @@ def pallas_attention_impl(interpret: bool = False):
         counts = jnp.where(meta.seq_valid, meta.seq_lens, 0)[:, None] * jnp.ones(
             (1, H), jnp.int32
         )
+        cached = prefill_cached_lens(meta, H)
         kp, vp = paged_store_prefill(
             k_hm, v_hm, cache.k_pages, cache.v_pages, src_start, counts, pt,
             layer * geom.rows_per_layer, page_size=geom.page_size,
-            interpret=interpret,
+            dst_page0=cached // geom.page_size,
+            store_contig=meta.store_contig, interpret=interpret,
         )
-        return _finish_store(geom, cache, layer, kp, vp, meta.slots, counts,
-                             meta.seq_valid)
+        return _finish_store(geom, cache, layer, kp, vp, meta.slots,
+                             cached + counts, meta.seq_valid)
 
     def store_topk(geom, cache, layer, k, v, topk_idx, topk_valid, meta):
         """Compressed store: entries are ranked per head (deterministic
@@ -873,11 +994,12 @@ def pallas_attention_impl(interpret: bool = False):
         Kpad = ((K + 8 * H + page) // page + 1) * page
 
         # Map padded-sorted slot j -> original top-k entry (pure gathers).
+        # The head-of-slot lookup is a vectorized comparison-sum over the H+1
+        # segment starts — jnp.searchsorted lowers to a serial binary-search
+        # loop that costs ~6 ms/layer at these shapes on TPU.
         j = jnp.arange(Kpad, dtype=jnp.int32)[None, :]  # [1, Kpad]
         h_of = jnp.clip(
-            jax.vmap(lambda s, jj: jnp.searchsorted(s, jj, side="right"))(
-                starts8, jnp.broadcast_to(j, (Bp, Kpad))
-            ).astype(jnp.int32) - 1,
+            (j[:, :, None] >= starts8[:, None, :]).astype(jnp.int32).sum(-1) - 1,
             0, H - 1,
         )  # [Bp, Kpad]
         r = j - jnp.take_along_axis(starts8, h_of, axis=1)
@@ -889,13 +1011,17 @@ def pallas_attention_impl(interpret: bool = False):
         src = (meta.seq_starts[:, None] + tok) * H + hh
         src = jnp.where(in_seg, src, 0).reshape(-1)
         src = jnp.concatenate([src, jnp.zeros(page, jnp.int32)])  # tail slack
-        k_sel = k.reshape(T * H, D)[src]
-        v_sel = v.reshape(T * H, D)[src]
+        # ONE row gather for K and V together (row latency dominates; fusing
+        # halves the row count), split by the store kernel's lane-slice DMAs.
+        kv_sel = jnp.concatenate(
+            [k.reshape(T * H, D), v.reshape(T * H, D)], axis=-1
+        )[src]
 
         seg_start = jnp.arange(Bp, dtype=jnp.int32)[:, None] * Kpad + starts8
         kp, vp = paged_store_prefill(
-            k_sel, v_sel, cache.k_pages, cache.v_pages, seg_start, counts, pt,
-            layer * geom.rows_per_layer, page_size=page, interpret=interpret,
+            kv_sel, None, cache.k_pages, cache.v_pages, seg_start, counts, pt,
+            layer * geom.rows_per_layer, page_size=page,
+            store_contig=meta.store_contig, interpret=interpret,
         )
         return _finish_store(geom, cache, layer, kp, vp, meta.slots, counts,
                              meta.seq_valid)

@@ -33,6 +33,10 @@ class Sequence:
     seq_id: int = field(default_factory=lambda: next(_seq_counter))
     status: SequenceStatus = SequenceStatus.WAITING
     completion_token_ids: list[int] = field(default_factory=list)
+    # Chunked prefill progress: prompt tokens whose KV is already cached, and
+    # the chunk size the scheduler granted for the next prefill dispatch.
+    num_prefilled_tokens: int = 0
+    prefill_chunk: int = 0
 
     def __post_init__(self):
         assert len(self.prompt_token_ids) >= 1, "empty prompt"

@@ -1,0 +1,86 @@
+"""Chunked prefill: prompts longer than max_num_batched_tokens prefill in
+page-aligned chunks through the attention kernels' cached-prefix phase, with
+greedy tokens exactly matching a single-shot engine (VERDICT round-2 item 9).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactor_vllm_tpu.config import (
+    AttentionBackend,
+    BatchCompressionParams,
+    CompressionMethod,
+    LLMConfig,
+    SamplingParams,
+)
+from compactor_vllm_tpu.core.engine import LLMEngine
+from compactor_vllm_tpu.models.transformer import ModelSpec, init_params
+from compactor_vllm_tpu.utils.sequence import Sequence
+
+
+def small_spec():
+    return ModelSpec(
+        model_type="llama", num_layers=2, num_q_heads=4, num_kv_heads=2,
+        head_dim=16, hidden_size=64, intermediate_size=128, vocab_size=128,
+    )
+
+
+def make_engine(spec, params, backend, chunked, budget):
+    cfg = LLMConfig(
+        max_num_seqs=4,
+        max_model_len=256,
+        max_num_batched_tokens=budget,
+        kvcache_page_size=8,
+        num_kv_pages=256,
+        attention_backend=backend,
+        enable_chunked_prefill=chunked,
+        dtype="float32",
+        eos=-2,
+        seed=3,
+    )
+    return LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+
+
+def prompts(lens, vocab, seed=9):
+    rng = np.random.default_rng(seed)
+    return [
+        Sequence(
+            prompt_token_ids=rng.integers(0, vocab, size=L).tolist(),
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=6),
+        )
+        for L in lens
+    ]
+
+
+@pytest.mark.parametrize(
+    "backend", [AttentionBackend.PALLAS, AttentionBackend.REFERENCE]
+)
+def test_chunked_prefill_matches_single_shot(backend):
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lens = [150, 40, 97]  # 150 and 97 must chunk under a 64-token budget
+    ref = make_engine(
+        spec, params, backend, chunked=False, budget=1024
+    ).generate_from_sequences(prompts(lens, spec.vocab_size))
+    got = make_engine(
+        spec, params, backend, chunked=True, budget=64
+    ).generate_from_sequences(prompts(lens, spec.vocab_size))
+    for a, b in zip(ref, got):
+        assert a.completion_token_ids == b.completion_token_ids
+
+
+def test_chunked_prefill_rejects_compression_overflow():
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = make_engine(
+        spec, params, AttentionBackend.REFERENCE, chunked=True, budget=64
+    )
+    with pytest.raises(ValueError, match="whole-prompt"):
+        eng.generate_from_sequences(
+            prompts([150], spec.vocab_size),
+            BatchCompressionParams(
+                compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+            ),
+        )
