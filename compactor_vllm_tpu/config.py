@@ -135,6 +135,12 @@ class LLMConfig:
     kvcache_page_size: int = 64
     num_kv_pages: int | None = None  # per (layer, shard) pool; None => derive from HBM
     hbm_utilization: float = 0.9
+    # KV cache element type: "auto" follows `dtype`; "fp8" stores
+    # float8_e4m3 — halves KV bandwidth and doubles cache capacity
+    # (the TPU analog of the reference's fp8 path,
+    # attention/sparse_decode_kernel.py:84,136-161; e4m3's dynamic range
+    # covers RMSNorm-scale K/V without per-row scales).
+    kv_cache_dtype: str = "auto"
 
     # Compression.
     leverage_sketch_size: int = 48

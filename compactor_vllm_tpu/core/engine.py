@@ -94,7 +94,14 @@ class LLMEngine:
                 logger.warning("no tokenizer available; text APIs disabled")
         if self.tokenizer is not None and cfg.eos == -1:
             cfg.eos = self.tokenizer.eos_token_id
-        self.runner = runner or ModelRunner(cfg, spec, params, cache_dtype=dtype)
+        kv_dtype = {
+            "auto": dtype,
+            "fp8": jnp.float8_e4m3fn,
+            "float8_e4m3": jnp.float8_e4m3fn,
+        }[cfg.kv_cache_dtype]
+        self.runner = runner or ModelRunner(
+            cfg, spec, params, cache_dtype=kv_dtype
+        )
 
     # ----------------------------------------------------------------- public
 

@@ -154,10 +154,12 @@ def store_prefill_full(
     # lanes carry OOB rows that mode="drop" skips, so written indices really
     # are unique. Without the hint XLA serializes the scatter.
     k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(T * H, D), unique_indices=True, mode="drop"
+        k_new.reshape(T * H, D).astype(state.k_pages.dtype),
+        unique_indices=True, mode="drop"
     )
     v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(T * H, D), unique_indices=True, mode="drop"
+        v_new.reshape(T * H, D).astype(state.v_pages.dtype),
+        unique_indices=True, mode="drop"
     )
 
     new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
@@ -222,8 +224,12 @@ def store_prefill_topk(
     v_sel = v_new.reshape(T * H, D)[src]
 
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
-    k_pages = state.k_pages.at[rows].set(k_sel, unique_indices=True, mode="drop")
-    v_pages = state.v_pages.at[rows].set(v_sel, unique_indices=True, mode="drop")
+    k_pages = state.k_pages.at[rows].set(
+        k_sel.astype(state.k_pages.dtype), unique_indices=True, mode="drop"
+    )
+    v_pages = state.v_pages.at[rows].set(
+        v_sel.astype(state.v_pages.dtype), unique_indices=True, mode="drop"
+    )
 
     retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
     new_lens = cached_lens + retained
@@ -258,10 +264,12 @@ def store_decode_all_layers(
     rows = jnp.where(valid[None, :, None], rows, geom.total_rows).reshape(-1)
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
     k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(-1, D), unique_indices=True, mode="drop"
+        k_new.reshape(-1, D).astype(state.k_pages.dtype),
+        unique_indices=True, mode="drop"
     )
     v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(-1, D), unique_indices=True, mode="drop"
+        v_new.reshape(-1, D).astype(state.v_pages.dtype),
+        unique_indices=True, mode="drop"
     )
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
@@ -292,10 +300,12 @@ def store_decode(
         geom, layer, pt_l, slots[:, None], heads, cur, valid[:, None]
     ).reshape(Bd * H)
     k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(Bd * H, D), unique_indices=True, mode="drop"
+        k_new.reshape(Bd * H, D).astype(state.k_pages.dtype),
+        unique_indices=True, mode="drop"
     )
     v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(Bd * H, D), unique_indices=True, mode="drop"
+        v_new.reshape(Bd * H, D).astype(state.v_pages.dtype),
+        unique_indices=True, mode="drop"
     )
     bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
     return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)

@@ -196,7 +196,9 @@ def _prefill_kernel(
             kd, vd = kc_dma(slot, i)
             kd.wait()
             vd.wait()
-            k = kc_buf[slot]
+            # Cache tiles may be lower precision (fp8 KV): VPU-upcast to the
+            # query dtype before the MXU dots.
+            k = kc_buf[slot].astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
@@ -209,7 +211,7 @@ def _prefill_kernel(
             vrow = i * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (page_size, 1), 0
             )
-            v_tile = jnp.where(vrow < clen, vc_buf[slot], 0)
+            v_tile = jnp.where(vrow < clen, vc_buf[slot].astype(q.dtype), 0)
             flash_update(s, v_tile)
             return 0
 
@@ -539,7 +541,8 @@ def _decode_kernel(
                 start_group(nxt, i + 1)
 
             wait_group(slot, i)
-            k = k_buf[slot]  # [GP*page, D]
+            # fp8 KV tiles are VPU-upcast to the query dtype before the dot.
+            k = k_buf[slot].astype(q.dtype)  # [GP*page, D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [G, GP*page]
@@ -557,7 +560,7 @@ def _decode_kernel(
             vrow = i * GP * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (GP * page_size, 1), 0
             )
-            v_tile = jnp.where(vrow < length, v_buf[slot], 0)
+            v_tile = jnp.where(vrow < length, v_buf[slot].astype(q.dtype), 0)
             acc = acc * corr + jax.lax.dot(
                 p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
             )
@@ -937,6 +940,10 @@ def pallas_attention_impl(interpret: bool = False):
         pt = jax.lax.dynamic_index_in_dim(
             cache.page_table, layer, 0, keepdims=False
         )[meta.slots]
+        # Quantize to the cache dtype before the DMA source build (DMAs
+        # cannot convert; no-op when the cache matches the model dtype).
+        k = k.astype(cache.k_pages.dtype)
+        v = v.astype(cache.v_pages.dtype)
         k_hm = k.transpose(1, 0, 2).reshape(H * T, D)
         v_hm = v.transpose(1, 0, 2).reshape(H * T, D)
         heads = jnp.arange(H, dtype=jnp.int32)[None, :]
@@ -1014,7 +1021,11 @@ def pallas_attention_impl(interpret: bool = False):
         # ONE row gather for K and V together (row latency dominates; fusing
         # halves the row count), split by the store kernel's lane-slice DMAs.
         kv_sel = jnp.concatenate(
-            [k.reshape(T * H, D), v.reshape(T * H, D)], axis=-1
+            [
+                k.astype(cache.k_pages.dtype).reshape(T * H, D),
+                v.astype(cache.v_pages.dtype).reshape(T * H, D),
+            ],
+            axis=-1,
         )[src]
 
         seg_start = jnp.arange(Bp, dtype=jnp.int32)[:, None] * Kpad + starts8

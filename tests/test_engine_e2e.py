@@ -192,3 +192,25 @@ def test_sampling_temperature_nonzero(tiny_model):
     outs = engine.generate_from_sequences(seqs)
     assert len(outs[0].completion_token_ids) == 16
     assert all(0 <= t < 128 for t in outs[0].completion_token_ids)
+
+
+def test_fp8_kv_cache_engine_runs_and_first_tokens_exact(tiny_model):
+    """kv_cache_dtype=fp8: generation runs end-to-end; the FIRST sampled
+    token per sequence is exact (fresh prefill attends this step's raw K/V,
+    never the quantized cache), and decode stays finite/plausible."""
+    hf, _ = tiny_model
+    eng8 = make_engine(tiny_model, kv_cache_dtype="fp8")
+    eng32 = make_engine(tiny_model)
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (33, 17)]
+
+    def gen(eng):
+        seqs = [
+            Sequence(p, sampling_params=SamplingParams(0.0, 6)) for p in prompts
+        ]
+        return eng.generate_from_sequences(seqs)
+
+    o8, o32 = gen(eng8), gen(eng32)
+    for a, b in zip(o8, o32):
+        assert len(a.completion_token_ids) == 6
+        assert a.completion_token_ids[0] == b.completion_token_ids[0]

@@ -360,3 +360,35 @@ def test_pallas_store_matches_jnp_store():
                 got_rows[np.lexsort(got_rows.T)], want_rows[np.lexsort(want_rows.T)],
                 rtol=1e-6,
             )
+
+
+def test_decode_kernel_fp8_cache_matches_oracle():
+    """fp8 (e4m3) KV cache: the kernel and the jnp oracle read the SAME
+    quantized pages, so they must agree to normal fp tolerance — validates
+    the in-kernel upcast path without accuracy entanglement."""
+    rng = np.random.default_rng(6)
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = rng.integers(20, 60, size=(B, H)).astype(np.int32)
+    state, slots = build_cache(rng, [1] * B, cache_lens)
+    state = state._replace(
+        k_pages=state.k_pages.astype(jnp.float8_e4m3fn),
+        v_pages=state.v_pages.astype(jnp.float8_e4m3fn),
+    )
+    q = rng.normal(size=(B, H * 2, D)).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+    got = paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages,
+        jnp.asarray(pt), jnp.asarray(lens), 0, None,
+        sm_scale=sm, page_size=PAGE, interpret=True,
+    )
+    want = ref_decode_attention(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(slots),
+        max_cache_len=int(cache_lens.max()), sm_scale=sm,
+        k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
