@@ -424,6 +424,172 @@ def paged_prefill_attention(
 
 
 DECODE_GROUP = 16  # pages fetched + reduced per flash step (one dot per 1024-token superchunk)
+# Max per-head context (tokens) for the RESIDENT decode kernel: the whole
+# per-(b, h) KV fits VMEM (2 ring slots x K+V x bf16: tokens x 1KB), the next
+# program's pages prefetch during this program's compute, and attention runs
+# as two full-width dots with a single softmax — no per-group flash chain.
+DECODE_RESIDENT_TOKENS = 8192
+
+
+def _decode_kernel_resident(
+    lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
+    pt_ref,  # [Bd, H, maxp] i32
+    contig_ref,  # [Bd, H, ceil(maxp/GROUP)] i32 contiguous-run group flags
+    base_ref,  # [1] i32
+    q_ref,  # [Bd, H, G, D] VMEM
+    kn_ref,  # [Bd, H, 1, D] VMEM — this step's key (merged in-register)
+    vn_ref,  # [Bd, H, 1, D] VMEM
+    kp_hbm,
+    vp_hbm,
+    o_ref,  # [Bd, H, G, D] VMEM
+    k_buf,  # [2, CTX, D] whole per-(b,h) K
+    v_buf,  # [2, CTX, D]
+    sems,  # DMA [2, NG, 2]
+    *,
+    sm_scale: float,
+    page_size: int,
+    group: int,
+    group_pages: int,
+):
+    """Decode attention with whole-context VMEM residency.
+
+    Grid programs run sequentially on a TPU core, so program (b, h) prefetches
+    program (b, h)+1's pages while IT computes — the DMA latency that the
+    ring-buffered kernel exposes at every program start (measured ~4 µs of a
+    ~9 µs program) hides behind compute. With all keys resident, QK and PV
+    are two full-width dots whose MXU passes pipeline internally, replacing
+    the serial per-group flash chain (NOTES.md round-1: pass-latency floor).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    Bd = pl.num_programs(0)
+    H = pl.num_programs(1)
+    G, GP = group, group_pages
+    D = q_ref.shape[-1]
+    CTX = k_buf.shape[1]
+    base = base_ref[0]
+    scale = sm_scale * LOG2E
+
+    def fetch(bb, hh, slot, wait):
+        """Start (or wait for) the page-group DMAs of (bb, hh) into `slot`.
+        Waits recreate the identical copy descriptors (standard Pallas
+        cross-program prefetch pattern)."""
+        length = lens_ref[bb, hh]
+        npages = pl.cdiv(length, page_size)
+        ngroups = pl.cdiv(npages, GP)
+
+        def run_copies(g):
+            row = pl.multiple_of(
+                base + pt_ref[bb, hh, g * GP] * page_size, page_size
+            )
+            off = g * GP * page_size
+            return (
+                pltpu.make_async_copy(
+                    kp_hbm.at[pl.ds(row, GP * page_size), :],
+                    k_buf.at[slot, pl.ds(off, GP * page_size), :],
+                    sems.at[slot, g, 0],
+                ),
+                pltpu.make_async_copy(
+                    vp_hbm.at[pl.ds(row, GP * page_size), :],
+                    v_buf.at[slot, pl.ds(off, GP * page_size), :],
+                    sems.at[slot, g, 1],
+                ),
+            )
+
+        def page_copies(g, j):
+            row = pl.multiple_of(
+                base + pt_ref[bb, hh, g * GP + j] * page_size, page_size
+            )
+            off = (g * GP + j) * page_size
+            return (
+                pltpu.make_async_copy(
+                    kp_hbm.at[pl.ds(row, page_size), :],
+                    k_buf.at[slot, pl.ds(off, page_size), :],
+                    sems.at[slot, g, 0],
+                ),
+                pltpu.make_async_copy(
+                    vp_hbm.at[pl.ds(row, page_size), :],
+                    v_buf.at[slot, pl.ds(off, page_size), :],
+                    sems.at[slot, g, 1],
+                ),
+            )
+
+        def body(g, _):
+            is_run = (contig_ref[bb, hh, g] != 0) & ((g + 1) * GP <= npages)
+
+            @pl.when(is_run)
+            def _():
+                kd, vd = run_copies(g)
+                if wait:
+                    kd.wait()
+                    vd.wait()
+                else:
+                    kd.start()
+                    vd.start()
+
+            @pl.when(jnp.logical_not(is_run))
+            def _():
+                for j in range(GP):
+                    @pl.when(g * GP + j < npages)
+                    def _():
+                        kd, vd = page_copies(g, j)
+                        if wait:
+                            # Per-page copies in a group share its semaphore
+                            # pair; one wait per started copy.
+                            kd.wait()
+                            vd.wait()
+                        else:
+                            kd.start()
+                            vd.start()
+
+            return 0
+
+        jax.lax.fori_loop(0, ngroups, body, 0)
+
+    idx = b * H + h
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        fetch(b, h, slot, wait=False)
+
+    # Prefetch the NEXT program's context while this one computes.
+    @pl.when(idx + 1 < Bd * H)
+    def _():
+        nb = (idx + 1) // H
+        nh = jax.lax.rem(idx + 1, H)
+        fetch(nb, nh, 1 - slot, wait=False)
+
+    fetch(b, h, slot, wait=True)
+
+    q = q_ref[b, h]  # [G, D]
+    length = lens_ref[b, h]
+    k = k_buf[slot].astype(q.dtype)  # [CTX, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [G, CTX] — one dot, N-tiles pipeline internally
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (G, CTX), 1)
+    s = jnp.where(kpos < length, s, NEG_INF)
+
+    # Single softmax (no online chain): include the step's own key.
+    k_self = kn_ref[b, h]  # [1, D]
+    v_self = vn_ref[b, h]
+    s_self = jnp.sum(
+        q.astype(jnp.float32) * k_self.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    ) * scale  # [G, 1] (VPU: a [G,1] MXU matvec trips a Mosaic verifier bug)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+    p = jnp.exp2(s - m)
+    p_self = jnp.exp2(s_self - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) + p_self
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (CTX, 1), 0)
+    v_tile = jnp.where(vrow < length, v_buf[slot].astype(q.dtype), 0)
+    acc = jax.lax.dot(
+        p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
+    )  # [G, D] — contraction-dim streaming pipelines
+    acc = acc + p_self * v_self.astype(jnp.float32)
+    out = acc / jnp.where(l > 0, l, 1.0)
+    o_ref[b, h] = out.astype(o_ref.dtype)
 
 
 def _decode_kernel(
@@ -609,7 +775,8 @@ def paged_decode_attention(
     Bd, HQ, D = q.shape
     H = page_table.shape[1]
     G = HQ // H
-    ng = -(-page_table.shape[2] // group_pages)
+    maxp = page_table.shape[2]
+    ng = -(-maxp // group_pages)
     if contig8 is None:
         contig8 = jnp.zeros((Bd, H, ng), jnp.int32)
     else:
@@ -620,10 +787,28 @@ def paged_decode_attention(
     q_hm = q.reshape(Bd, H, G, D)
     kn_hm = k_new[:, :, None, :]  # [Bd, H, 1, D]
     vn_hm = v_new[:, :, None, :]
-    kernel = functools.partial(
-        _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G,
-        group_pages=group_pages,
-    )
+    resident = maxp * page_size <= DECODE_RESIDENT_TOKENS
+    if resident:
+        ctx = ng * group_pages * page_size
+        kernel = functools.partial(
+            _decode_kernel_resident, sm_scale=sm_scale, page_size=page_size,
+            group=G, group_pages=group_pages,
+        )
+        scratch = [
+            pltpu.VMEM((2, ctx, D), k_pages.dtype),
+            pltpu.VMEM((2, ctx, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, ng, 2)),
+        ]
+    else:
+        kernel = functools.partial(
+            _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G,
+            group_pages=group_pages,
+        )
+        scratch = [
+            pltpu.VMEM((2, group_pages * page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, group_pages * page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, group_pages, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Bd, H),
@@ -635,11 +820,7 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, group_pages * page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, group_pages * page_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, group_pages, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     o_hm = pl.pallas_call(
         kernel,

@@ -392,3 +392,34 @@ def test_decode_kernel_fp8_cache_matches_oracle():
         k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+
+
+def test_decode_kernel_ring_path_matches_oracle(monkeypatch):
+    """Force the ring-buffered (non-resident) decode kernel — the long-context
+    fallback when per-head KV exceeds DECODE_RESIDENT_TOKENS."""
+    import compactor_vllm_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "DECODE_RESIDENT_TOKENS", 0)
+    rng = np.random.default_rng(9)
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = rng.integers(40, 90, size=(B, H)).astype(np.int32)
+    state, slots, alloc = build_cache(rng, [1] * B, cache_lens, return_alloc=True)
+    q = rng.normal(size=(B, H * 2, D)).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+    contig = np.stack([alloc.contig_groups(s_, 8) for s_ in slots]).astype(np.int32)
+    got = pa.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        state.k_pages, state.v_pages,
+        jnp.asarray(pt), jnp.asarray(lens), 0, jnp.asarray(contig),
+        sm_scale=sm, page_size=PAGE, group_pages=8, interpret=True,
+    )
+    want = ref_decode_attention(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(slots),
+        max_cache_len=int(cache_lens.max()), sm_scale=sm,
+        k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
