@@ -49,6 +49,20 @@ def timeit(fn, *args):
     return float(np.median(ts)) / STEPS
 
 
+def timeit_donated(fn, cache, *args):
+    """For cache-carrying fns: donate the cache and thread it through calls
+    (a non-donated 7 GB cache arg otherwise copies per call -> OOM)."""
+    cache = fn(cache, *args)
+    jax.block_until_ready(cache)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        cache = fn(cache, *args)
+        jax.block_until_ready(cache)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / STEPS
+
+
 def main():
     log(f"device: {jax.devices()[0].device_kind}")
     geom = KVCacheGeometry(
@@ -70,16 +84,6 @@ def main():
     def report(name, dt):
         log(f"{name:>38}: {dt*1e3:8.3f} ms/step")
         results[name] = dt * 1e3
-
-    # (a) cross-layer append scatter, chained STEPS times
-    @jax.jit
-    def scatter_steps(cache, kv):
-        def body(c, i):
-            c = store_decode_all_layers(geom, c, kv + i, kv, slots, valid)
-            return c, ()
-        c, _ = jax.lax.scan(body, cache, jnp.arange(STEPS, dtype=jnp.bfloat16))
-        return c
-    report("append scatter (store_decode_all)", timeit(scatter_steps, cache, kv))
 
     # (b) page-table + lens slot gathers
     @jax.jit
@@ -108,6 +112,19 @@ def main():
         c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(STEPS, dtype=jnp.int32))
         return c
     report("lm_head GEMM + sampling", timeit(logits_sample, hidden, head))
+
+    # (a) cross-layer append scatter, chained STEPS times (donates the cache
+    # -> run LAST; earlier sections need the live cache)
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scatter_steps(cache, kv):
+        def body(c, i):
+            c = store_decode_all_layers(geom, c, kv + i, kv, slots, valid)
+            return c, ()
+        c, _ = jax.lax.scan(body, cache, jnp.arange(STEPS, dtype=jnp.bfloat16))
+        return c
+    report("append scatter (store_decode_all)", timeit_donated(scatter_steps, cache, kv))
 
     print(json.dumps(results))
 

@@ -472,7 +472,7 @@ class ModelRunner:
             for f in t._fields
         })
 
-    def _shard_step(self, inner, meta_type):
+    def _shard_step(self, inner, meta_type, prefill: bool = False):
         """Wrap a per-device step in shard_map over the (dp, tp) mesh.
 
         Batch metadata is dp-stacked (leading [dp] axis; each group runs its
@@ -482,17 +482,24 @@ class ModelRunner:
         core/llm_engine.py:52-70)."""
         def wrapped(params, cache, meta, temps, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS_DP))
-            cache, tokens = inner(
+            cache, out = inner(
                 params, cache, self._dp_local_meta(meta), temps[0], rng
             )
-            return cache, tokens[None]
+            if prefill:
+                tokens, retained = out
+                return cache, (tokens[None], retained[None])
+            return cache, out[None]
 
+        out_spec = (
+            (P(AXIS_DP), P(AXIS_DP, None, None, AXIS_TP)) if prefill
+            else P(AXIS_DP)
+        )
         return jax.shard_map(
             wrapped,
             mesh=self.mesh,
             in_specs=(param_pspecs(self.spec), cache_pspecs(),
                       self._dp_meta_specs(meta_type), P(AXIS_DP), P()),
-            out_specs=(cache_pspecs(), P(AXIS_DP)),
+            out_specs=(cache_pspecs(), out_spec),
             check_vma=False,
         )
 
@@ -512,15 +519,18 @@ class ModelRunner:
                     tp_axis,
                 )
                 tokens = sample_tokens(logits, temps, rng)
-                return cache, tokens
+                # Retained per-head lengths ride along with the tokens so the
+                # host reclaim needs no second device round-trip.
+                retained = cache.bh_lens[:, meta.slots]  # [L, b_pad, H]
+                return cache, (tokens, retained)
 
             if self.mesh is not None:
-                step = self._shard_step(step, PrefillMeta)
+                step = self._shard_step(step, PrefillMeta, prefill=True)
             self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
-    def _decode_fn(self, b_pad: int):
-        key = ("decode", b_pad)
+    def _decode_fn(self, b_pad: int, max_pages: int = 0):
+        key = ("decode", b_pad, max_pages)
         if key not in self._fn_cache:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
@@ -529,6 +539,7 @@ class ModelRunner:
                     params, cache, meta, spec=self.lspec, geom=self.geom,
                     comp=CompressionStatic(method=CompressionMethod.NONE),
                     attn=self.attn, is_prefill=False, tp_axis=tp_axis,
+                    max_pages=max_pages,
                 )
                 logits = compute_logits(params, self.lspec, hidden, tp_axis)
                 tokens = sample_tokens(logits, temps, rng)
@@ -539,13 +550,13 @@ class ModelRunner:
             self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
-    def _decode_loop_fn(self, b_pad: int, n_steps: int):
+    def _decode_loop_fn(self, b_pad: int, n_steps: int, max_pages: int = 0):
         """n_steps decode iterations in ONE compiled program with in-device
         termination masking — the TPU analog of the reference's CUDA-graph
         decode loop (core/model_runner.py:391-491): finished lanes stop
         sampling/storing but stay in the batch until the host re-packs.
         Amortizes the dispatch round-trip and per-step host work."""
-        key = ("decode_loop", b_pad, n_steps)
+        key = ("decode_loop", b_pad, n_steps, max_pages)
         if key not in self._fn_cache:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
@@ -560,6 +571,7 @@ class ModelRunner:
                         params, cache, dmeta, spec=self.lspec, geom=self.geom,
                         comp=CompressionStatic(method=CompressionMethod.NONE),
                         attn=self.attn, is_prefill=False, tp_axis=tp_axis,
+                        max_pages=max_pages,
                     )
                     logits = compute_logits(params, self.lspec, hidden, tp_axis)
                     tokens = sample_tokens(
@@ -751,9 +763,12 @@ class ModelRunner:
             )
             temps = jnp.asarray(np.stack([p[1] for p in packs]))
         fn = self._prefill_fn(t_pad, b_pad, comp)
-        self.cache, tokens = fn(
+        self.cache, (tokens, retained) = fn(
             self.params, self.cache, meta, temps, self._next_key()
         )
+        # Device array kept for reclaim_after_compression — converted there
+        # (rides the same result fetch as the tokens; no extra round-trip).
+        self._last_retained = retained
         # Advance chunked-prefill progress (full-prompt dispatches land
         # exactly at the prompt end).
         for g in groups:
@@ -767,17 +782,25 @@ class ModelRunner:
         return out[0] if flat else out
 
     def reclaim_after_compression(self, seqs: list[Sequence], group: int = 0) -> None:
-        """Read back per-head retained lengths and return surplus pages
-        (reference: core/model_runner.py:288-291, memory_manager.py:171-182)."""
+        """Return surplus pages from the per-head retained lengths the prefill
+        step emitted alongside its tokens (reference:
+        core/model_runner.py:288-291, memory_manager.py:171-182)."""
         if not seqs:
             return
         alloc = self.allocs[group]
-        slots = np.array([alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32)
-        gslots = slots + group * self.geom.num_slots
-        lens = np.asarray(self.cache.bh_lens[:, gslots])  # [L, n, H]
+        r = getattr(self, "_last_retained", None)
+        if r is not None:
+            lens = np.asarray(r[group] if self.mesh is not None else r)
+        else:  # direct callers that bypassed run_prefill
+            slots = np.array(
+                [alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32
+            )
+            gslots = slots + group * self.geom.num_slots
+            lens = np.asarray(self.cache.bh_lens[:, gslots])
         for i, s in enumerate(seqs):
             headroom = s.sampling_params.max_new_tokens
             alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
+            s.max_head_len = int(lens[:, i, :].max())
 
     def _decode_group_arrays(self, seqs, group, b_pad):
         alloc = self.allocs[group]
@@ -827,11 +850,29 @@ class ModelRunner:
         return ([seqs], True) if not (seqs and isinstance(seqs[0], list)) \
             else (list(seqs), False)
 
+    def _decode_max_pages(self, groups, horizon: int) -> int:
+        """Static page-table width bound for this decode dispatch: bucketed
+        max(context) + generation horizon. Sizes the resident decode kernel's
+        VMEM context to the batch instead of max_model_len (1024-token
+        buckets bound recompiles)."""
+        mx = max(
+            (
+                (s.max_head_len or s.num_prompt_tokens)
+                + s.num_completion_tokens
+                for g in groups
+                for s in g
+            ),
+            default=1,
+        )
+        tokens = cdiv(mx + horizon, 1024) * 1024
+        return min(self.geom.max_pages_per_head,
+                   cdiv(tokens, self.geom.page_size))
+
     def run_decode_step(self, seqs) -> np.ndarray:
         groups, flat = self._as_groups(seqs)
         groups += [[] for _ in range(self.dp - len(groups))]
         b_pad, meta, temps = self._decode_meta(groups)
-        fn = self._decode_fn(b_pad)
+        fn = self._decode_fn(b_pad, self._decode_max_pages(groups, 1))
         self.cache, tokens = fn(self.params, self.cache, meta, temps, self._next_key())
         tokens = np.asarray(tokens)
         if self.mesh is None:
@@ -852,7 +893,9 @@ class ModelRunner:
                 remaining[gi, i] = (
                     s.sampling_params.max_new_tokens - s.num_completion_tokens
                 )
-        fn = self._decode_loop_fn(b_pad, n_steps)
+        fn = self._decode_loop_fn(
+            b_pad, n_steps, self._decode_max_pages(groups, n_steps)
+        )
         rem = jnp.asarray(remaining if self.mesh is not None else remaining[0])
         self.cache, tokens = fn(
             self.params, self.cache, meta, temps,

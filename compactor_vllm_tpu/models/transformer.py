@@ -455,12 +455,18 @@ def forward(
     is_prefill: bool,
     max_q: int = 0,
     tp_axis: str | None = None,
+    max_pages: int = 0,
 ):
     """Run the full decoder; returns (cache, final hidden states [N, hidden]).
 
     When `tp_axis` is set the function runs SPMD inside a shard_map: `spec`
     and `geom` describe the per-device shard (local heads/experts/vocab) and
     collectives over `tp_axis` reduce row-parallel partials.
+
+    `max_pages` (> 0, decode only) statically bounds the page-table width
+    this batch can reach — the host knows max(tokens)+steps at dispatch, so
+    the decode kernels size their resident context to the batch instead of
+    the engine-wide max_model_len.
     """
     x = vocab_parallel_embed(params["embed"], meta.input_ids, tp_axis)
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
@@ -473,6 +479,8 @@ def forward(
         # layers, sliced per scan step (per-layer gathers around the decode
         # kernel cost ~0.9 ms/layer in XLA ops on v5e).
         pt_sel = cache.page_table[:, meta.slots]  # [L, Bd, H, maxp]
+        if max_pages:
+            pt_sel = pt_sel[..., :max_pages]
         lens_sel = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
 
     def make_layer_fn(moe: bool):

@@ -444,6 +444,7 @@ def _decode_kernel_resident(
     o_ref,  # [Bd, H, G, D] VMEM
     k_buf,  # [2, CTX, D] whole per-(b,h) K
     v_buf,  # [2, CTX, D]
+    s_buf,  # [G, CTX] f32 QK logits scratch
     sems,  # DMA [2, NG, 2]
     *,
     sm_scale: float,
@@ -564,10 +565,23 @@ def _decode_kernel_resident(
 
     q = q_ref[b, h]  # [G, D]
     length = lens_ref[b, h]
-    k = k_buf[slot].astype(q.dtype)  # [CTX, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [G, CTX] — one dot, N-tiles pipeline internally
+    # Group-guarded QK dots: only the groups covering the ACTUAL context run
+    # (per-head lengths are ragged after compression; a fixed full-width dot
+    # wastes MXU passes on the longest head's worth of padding for every
+    # head). Results land in an s scratch; the softmax runs once at the end.
+    GSZ = GP * page_size
+    NGR = CTX // GSZ
+    s_buf[...] = jnp.full_like(s_buf, NEG_INF)
+    for g in range(NGR):
+        @pl.when(g * GSZ < length)
+        def _():
+            k_g = k_buf[slot, pl.ds(g * GSZ, GSZ), :].astype(q.dtype)
+            s_buf[:, pl.ds(g * GSZ, GSZ)] = jax.lax.dot_general(
+                q, k_g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [G, GSZ]
+
+    s = s_buf[...]  # [G, CTX]
     kpos = jax.lax.broadcasted_iota(jnp.int32, (G, CTX), 1)
     s = jnp.where(kpos < length, s, NEG_INF)
 
@@ -797,6 +811,7 @@ def paged_decode_attention(
         scratch = [
             pltpu.VMEM((2, ctx, D), k_pages.dtype),
             pltpu.VMEM((2, ctx, D), v_pages.dtype),
+            pltpu.VMEM((G, ctx), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ng, 2)),
         ]
     else:

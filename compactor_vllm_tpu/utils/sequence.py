@@ -37,6 +37,10 @@ class Sequence:
     # the chunk size the scheduler granted for the next prefill dispatch.
     num_prefilled_tokens: int = 0
     prefill_chunk: int = 0
+    # Largest per-(layer, head) retained KV length after compression (set at
+    # reclaim; 0 = uncompressed, i.e. the full prompt). Bounds the decode
+    # kernels' resident context.
+    max_head_len: int = 0
 
     def __post_init__(self):
         assert len(self.prompt_token_ids) >= 1, "empty prompt"
