@@ -107,6 +107,18 @@ def main():
     peak_gb = engine.runner.alloc.peak_used_pages * page_bytes * geom.num_layers / 2**30
     log(f"peak KV in use: {peak_gb:.2f} GB "
         f"(pool {geom.num_pages * page_bytes * geom.num_layers / 2**30:.2f} GB)")
+    # Uncompressed requirement for the same workload (every (seq, head) keeps
+    # prompt+new tokens) — the reference's memory headline is the ratio
+    # (60.3 -> 31.3 GB at 50% on H100, BASELINE.md).
+    full_pages = (
+        n_requests * geom.num_kv_heads
+        * -(-(prompt_len + new_tokens) // geom.page_size)
+    )
+    full_gb = full_pages * page_bytes * geom.num_layers / 2**30
+    log(
+        f"uncompressed KV for this workload would need {full_gb:.2f} GB "
+        f"-> peak ratio {peak_gb / full_gb:.2f} (reference @50%: ~0.52)"
+    )
 
     print(json.dumps({
         "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",
