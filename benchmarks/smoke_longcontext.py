@@ -82,7 +82,13 @@ def run_case(params, spec, prompt_len, method, ratio):
     )
     for a in eng.runner.allocs:
         a.check_invariants()
+    # Release this engine's 10 GB pool before the next case allocates its
+    # own (the refs die with the engine, but only after a GC pass — without
+    # it the pools briefly coexist and the next prefill OOMs).
     del eng
+    import gc
+
+    gc.collect()
     return dt
 
 
