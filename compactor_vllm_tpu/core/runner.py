@@ -561,26 +561,39 @@ class ModelRunner:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
             def loop(params, cache, meta: DecodeMeta, temps, remaining, eos, rng):
+                # Hoist the slot gathers out of the step scan: pages never
+                # change mid-decode and lengths advance by exactly the alive
+                # mask, so lens at step i = lens0 + appended (per-step
+                # gathers on a 7 GB cache cost ~2 ms, bench_decode_parts).
+                pt_sel = cache.page_table[:, meta.slots]
+                if max_pages:
+                    pt_sel = pt_sel[..., :max_pages]
+                lens0 = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
+
                 def live_step(carry, i):
-                    cache, ids, positions, remaining, alive = carry
+                    cache, ids, positions, remaining, alive, appended = carry
                     dmeta = DecodeMeta(
                         input_ids=ids, positions=positions,
                         slots=meta.slots, valid=alive, contig8=meta.contig8,
                     )
+                    lens_sel = lens0 + appended[None, :, None]
                     cache, hidden = forward(
                         params, cache, dmeta, spec=self.lspec, geom=self.geom,
                         comp=CompressionStatic(method=CompressionMethod.NONE),
                         attn=self.attn, is_prefill=False, tp_axis=tp_axis,
-                        max_pages=max_pages,
+                        max_pages=max_pages, pt_sel=pt_sel, lens_sel=lens_sel,
                     )
                     logits = compute_logits(params, self.lspec, hidden, tp_axis)
                     tokens = sample_tokens(
                         logits, temps, jax.random.fold_in(rng, i)
                     )
+                    appended = appended + alive.astype(jnp.int32)
                     tokens = jnp.where(alive, tokens, -1)
                     remaining = remaining - alive.astype(jnp.int32)
                     alive = alive & (tokens != eos) & (remaining > 0)
-                    return (cache, tokens, positions + 1, remaining, alive), tokens
+                    return (
+                        cache, tokens, positions + 1, remaining, alive, appended
+                    ), tokens
 
                 def step(carry, i):
                     # Early exit once every lane has terminated mid-chunk:
@@ -596,7 +609,8 @@ class ModelRunner:
 
                 (cache, *_), toks = jax.lax.scan(
                     step,
-                    (cache, meta.input_ids, meta.positions, remaining, meta.valid),
+                    (cache, meta.input_ids, meta.positions, remaining,
+                     meta.valid, jnp.zeros_like(meta.slots)),
                     jnp.arange(n_steps, dtype=jnp.int32),
                 )
                 return cache, toks  # [n_steps, b_pad]

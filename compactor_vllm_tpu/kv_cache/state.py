@@ -244,18 +244,23 @@ def store_decode_all_layers(
     v_new: jax.Array,
     slots: jax.Array,  # [Bd]
     valid: jax.Array,  # [Bd] bool
+    pt: jax.Array | None = None,  # [L, Bd, H, maxp] pre-gathered rows
+    cur: jax.Array | None = None,  # [L, Bd, H] pre-computed lengths
 ) -> KVCacheState:
     """Append one decoded token to every layer's cache in a single scatter.
 
     Decode attention merges the step's own K/V in-register (self-key), so the
     store is deferred out of the layer scan and batched: one scatter of
     L*Bd*H rows instead of L scatters (each XLA scatter carries fixed cost).
+    `pt`/`cur` let the fused decode loop reuse its hoisted slot gathers.
     """
     L, Bd, H, D = k_new.shape
     layers = jnp.arange(L, dtype=jnp.int32)[:, None, None]  # [L, 1, 1]
     heads = jnp.arange(H, dtype=jnp.int32)[None, None, :]
-    cur = state.bh_lens[:, slots]  # [L, Bd, H] per-layer lengths differ
-    pt = state.page_table[:, slots]  # [L, Bd, H, maxp]
+    if cur is None:
+        cur = state.bh_lens[:, slots]  # [L, Bd, H] per-layer lengths differ
+    if pt is None:
+        pt = state.page_table[:, slots]  # [L, Bd, H, maxp]
     page_col = jnp.minimum(cur // geom.page_size, pt.shape[-1] - 1)
     page_id = jnp.take_along_axis(pt, page_col[..., None], axis=3)[..., 0]
     rows = layers * geom.rows_per_layer + page_id * geom.page_size + (

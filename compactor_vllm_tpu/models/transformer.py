@@ -456,6 +456,8 @@ def forward(
     max_q: int = 0,
     tp_axis: str | None = None,
     max_pages: int = 0,
+    pt_sel=None,
+    lens_sel=None,
 ):
     """Run the full decoder; returns (cache, final hidden states [N, hidden]).
 
@@ -467,6 +469,11 @@ def forward(
     this batch can reach — the host knows max(tokens)+steps at dispatch, so
     the decode kernels size their resident context to the batch instead of
     the engine-wide max_model_len.
+
+    `pt_sel`/`lens_sel` (decode) let the multi-step decode loop hoist the
+    page-table/length slot gathers out of its step scan (pages never change
+    mid-decode and lengths advance deterministically) — the per-step gathers
+    cost ~2 ms on a 7 GB cache.
     """
     x = vocab_parallel_embed(params["embed"], meta.input_ids, tp_axis)
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
@@ -478,10 +485,12 @@ def forward(
         # Hoist the slot gathers out of the layer scan: ONE gather over all
         # layers, sliced per scan step (per-layer gathers around the decode
         # kernel cost ~0.9 ms/layer in XLA ops on v5e).
-        pt_sel = cache.page_table[:, meta.slots]  # [L, Bd, H, maxp]
-        if max_pages:
-            pt_sel = pt_sel[..., :max_pages]
-        lens_sel = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
+        if pt_sel is None:
+            pt_sel = cache.page_table[:, meta.slots]  # [L, Bd, H, maxp]
+            if max_pages:
+                pt_sel = pt_sel[..., :max_pages]
+        if lens_sel is None:
+            lens_sel = cache.bh_lens[:, meta.slots]  # [L, Bd, H]
 
     def make_layer_fn(moe: bool):
         def layer_fn(carry, xs):
@@ -526,7 +535,8 @@ def forward(
         k_all = jnp.concatenate([kv[0] for kv in kv_segs], axis=0)
         v_all = jnp.concatenate([kv[1] for kv in kv_segs], axis=0)  # [L, Bd, H, D]
         cache = store_decode_all_layers(
-            geom, cache, k_all, v_all, meta.slots, meta.valid
+            geom, cache, k_all, v_all, meta.slots, meta.valid,
+            pt=pt_sel, cur=lens_sel,
         )
     hidden, _ = rms_norm_fused_add(x, residual, params["final_norm"], spec.rms_norm_eps)
     return cache, hidden
