@@ -71,7 +71,7 @@ def bench_prefill(q_len, batch):
         # from hoisting the (otherwise loop-invariant) kernel out of the scan.
         def body(c, base):
             o = paged_prefill_attention(
-                q, k, v, cache.k_pages, cache.v_pages, jnp.asarray(pt),
+                q, k, v, cache.kv_pages, jnp.asarray(pt),
                 jnp.asarray(clens), jnp.asarray(starts), jnp.asarray(lens), base,
                 sm_scale=D**-0.5, page_size=PAGE, max_q=((q_len + TM - 1)//TM)*TM,
             )
@@ -120,7 +120,7 @@ def bench_decode(ctx_len, batch, group_pages=None):
     def run(q, kn, vn, bases):
         def body(c, base):
             o = paged_decode_attention(
-                q, kn, vn, cache.k_pages, cache.v_pages, jnp.asarray(pt),
+                q, kn, vn, cache.kv_pages, jnp.asarray(pt),
                 jnp.asarray(lens), base, jnp.asarray(contig),
                 sm_scale=D**-0.5, page_size=PAGE, group_pages=group_pages,
             )

@@ -218,10 +218,8 @@ class ModelRunner:
         @partial(jax.jit, out_shardings=shardings)
         def mk():
             return KVCacheState(
-                k_pages=jnp.zeros(
-                    (G * S * geom.total_rows, geom.head_dim), cache_dtype),
-                v_pages=jnp.zeros(
-                    (G * S * geom.total_rows, geom.head_dim), cache_dtype),
+                kv_pages=jnp.zeros(
+                    (G * S * geom.total_rows, 2 * geom.head_dim), cache_dtype),
                 page_table=jnp.zeros(
                     (geom.num_layers, G * geom.num_slots,
                      S * geom.num_kv_heads, geom.max_pages_per_head), jnp.int32),
@@ -344,8 +342,7 @@ class ModelRunner:
             phi=sds((self.lspec.head_dim, self.cfg.leverage_sketch_size), f32),
         )
         cache = KVCacheState(
-            k_pages=sds((probe.total_rows, probe.head_dim), cache_dtype),
-            v_pages=sds((probe.total_rows, probe.head_dim), cache_dtype),
+            kv_pages=sds((probe.total_rows, 2 * probe.head_dim), cache_dtype),
             page_table=sds(
                 (probe.num_layers, probe.num_slots, probe.num_kv_heads,
                  probe.max_pages_per_head), i32),

@@ -33,9 +33,12 @@ import jax.numpy as jnp
 class KVCacheState(NamedTuple):
     """Pytree carried through jitted steps (donated for in-place updates)."""
 
-    # [L*P*page_size + page_size, D] local rows; final page is the trash target.
-    k_pages: jax.Array
-    v_pages: jax.Array
+    # [L*P*page_size + page_size, 2*D] local rows — K in lanes [0, D), V in
+    # [D, 2D) (interleaved so one DMA/scatter row moves BOTH; XLA scatters
+    # serialize per ROW, and the decode append scatter of L*Bd*H rows was
+    # the single largest decode-step cost at split K/V). The final page is
+    # the trash target.
+    kv_pages: jax.Array
     # [L, B, H, max_pages_per_head] shard-local page ids.
     page_table: jax.Array
     # [L, B, H] retained token count per (layer, slot, head).
@@ -71,8 +74,7 @@ class KVCacheGeometry(NamedTuple):
 
 def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
     return KVCacheState(
-        k_pages=jnp.zeros((geom.total_rows, geom.head_dim), dtype=dtype),
-        v_pages=jnp.zeros((geom.total_rows, geom.head_dim), dtype=dtype),
+        kv_pages=jnp.zeros((geom.total_rows, 2 * geom.head_dim), dtype=dtype),
         page_table=jnp.zeros(
             (geom.num_layers, geom.num_slots, geom.num_kv_heads, geom.max_pages_per_head),
             jnp.int32,
@@ -153,18 +155,14 @@ def store_prefill_full(
     # unique_indices: every (token, head) lands on its own cache row; invalid
     # lanes carry OOB rows that mode="drop" skips, so written indices really
     # are unique. Without the hint XLA serializes the scatter.
-    k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(T * H, D).astype(state.k_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
-    v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(T * H, D).astype(state.v_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
+    kv = jnp.concatenate(
+        [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
+    ).astype(state.kv_pages.dtype)
+    kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
 
     new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
-    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
 def store_prefill_topk(
@@ -224,17 +222,15 @@ def store_prefill_topk(
     v_sel = v_new.reshape(T * H, D)[src]
 
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
-    k_pages = state.k_pages.at[rows].set(
-        k_sel.astype(state.k_pages.dtype), unique_indices=True, mode="drop"
-    )
-    v_pages = state.v_pages.at[rows].set(
-        v_sel.astype(state.v_pages.dtype), unique_indices=True, mode="drop"
+    kv_sel = jnp.concatenate([k_sel, v_sel], axis=-1).astype(state.kv_pages.dtype)
+    kv_pages = state.kv_pages.at[rows].set(
+        kv_sel, unique_indices=True, mode="drop"
     )
 
     retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
     new_lens = cached_lens + retained
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
-    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
 def store_decode_all_layers(
@@ -268,21 +264,19 @@ def store_decode_all_layers(
     )
     rows = jnp.where(valid[None, :, None], rows, geom.total_rows).reshape(-1)
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
-    k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(-1, D).astype(state.k_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
-    v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(-1, D).astype(state.v_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
+    # One scatter of [2D]-wide rows for K and V together: XLA scatter cost is
+    # per ROW, so fusing halves the dominant decode-append cost.
+    kv = jnp.concatenate(
+        [k_new.reshape(-1, D), v_new.reshape(-1, D)], axis=-1
+    ).astype(state.kv_pages.dtype)
+    kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
     safe_slots = jnp.where(valid, slots, B)
     bh_lens = state.bh_lens.at[:, safe_slots].set(
         jnp.where(valid[None, :, None], new_lens, 0), mode="drop"
     )
-    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
 def store_decode(
@@ -304,16 +298,12 @@ def store_decode(
     rows = _cache_rows(
         geom, layer, pt_l, slots[:, None], heads, cur, valid[:, None]
     ).reshape(Bd * H)
-    k_pages = state.k_pages.at[rows].set(
-        k_new.reshape(Bd * H, D).astype(state.k_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
-    v_pages = state.v_pages.at[rows].set(
-        v_new.reshape(Bd * H, D).astype(state.v_pages.dtype),
-        unique_indices=True, mode="drop"
-    )
+    kv = jnp.concatenate(
+        [k_new.reshape(Bd * H, D), v_new.reshape(Bd * H, D)], axis=-1
+    ).astype(state.kv_pages.dtype)
+    kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
     bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
-    return state._replace(k_pages=k_pages, v_pages=v_pages, bh_lens=bh_lens)
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
 def _update_lens(bh_lens, layer, slots, new_lens, seq_valid):

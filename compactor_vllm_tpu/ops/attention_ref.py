@@ -51,9 +51,9 @@ def gather_cache_dense(
     rows = base + page_id * geom.page_size + offset[None, None, :]
     valid = pos[None, None, :] < lens[:, :, None]
     rows = jnp.where(valid, rows, geom.num_rows)  # trash page is zero-initialized
-    k = state.k_pages[rows]  # [Bp, H, max_len, D]
-    v = state.v_pages[rows]
-    return k, v, lens
+    kv = state.kv_pages[rows]  # [Bp, H, max_len, 2D] — one gather for both
+    D = geom.head_dim
+    return kv[..., :D], kv[..., D:], lens
 
 
 def unpack_varlen(

@@ -75,8 +75,7 @@ def _prefill_kernel(
     q_hbm,  # [H, Tpad*G, D] head-major, row = token*G + group
     kn_hbm,  # [H, Tpad, D]
     vn_hbm,  # [H, Tpad, D]
-    kp_hbm,  # [rows, D]
-    vp_hbm,  # [rows, D]
+    kvp_hbm,  # [rows, 2D] cache pages (K lanes [0,D), V lanes [D,2D))
     # outputs: o_hbm [H, Tpad*G, D]; with fused scoring also sc_hbm, an
     # [H, Tpad/128, 1, 128] f32 HBM array of raw chunk column mass — the
     # dynamic (head, chunk) indices land on untiled leading dims, so the
@@ -93,7 +92,7 @@ def _prefill_kernel(
     if score_chunks:
         sc_hbm, *refs = refs
         *refs, sc_buf = refs
-    (q_buf, o_buf, kc_buf, vc_buf, kn_buf, vn_buf, acc_ref, m_ref, l_ref,
+    (q_buf, o_buf, kvc_buf, kn_buf, vn_buf, acc_ref, m_ref, l_ref,
      sems) = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -123,14 +122,11 @@ def _prefill_kernel(
         n_end = pl.cdiv(jnp.minimum(q0 + TM, seq_len), TN)
 
         def kc_dma(slot, i):
+            # Interleaved cache rows: ONE DMA moves both K and V for a page.
             row = pl.multiple_of(base + pt_ref[b, h, i] * page_size, page_size)
-            return (
-                pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, page_size), :], kc_buf.at[slot], sems.at[1 + slot]
-                ),
-                pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, page_size), :], vc_buf.at[slot], sems.at[3 + slot]
-                ),
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, page_size), :], kvc_buf.at[slot],
+                sems.at[1 + slot],
             )
 
         def kn_dma(slot, n):
@@ -146,9 +142,7 @@ def _prefill_kernel(
 
         @pl.when(num_pages > 0)
         def _():
-            k0, v0 = kc_dma(0, 0)
-            k0.start()
-            v0.start()
+            kc_dma(0, 0).start()
 
         @pl.when(num_pages == 0)
         def _():
@@ -183,9 +177,7 @@ def _prefill_kernel(
 
             @pl.when(i + 1 < num_pages)
             def _():
-                kd, vd = kc_dma(nxt, i + 1)
-                kd.start()
-                vd.start()
+                kc_dma(nxt, i + 1).start()
 
             @pl.when(jnp.logical_and(i + 1 >= num_pages, n_end > 0))
             def _():
@@ -193,12 +185,11 @@ def _prefill_kernel(
                 kd.start()
                 vd.start()
 
-            kd, vd = kc_dma(slot, i)
-            kd.wait()
-            vd.wait()
+            kc_dma(slot, i).wait()
             # Cache tiles may be lower precision (fp8 KV): VPU-upcast to the
-            # query dtype before the MXU dots.
-            k = kc_buf[slot].astype(q.dtype)
+            # query dtype before the MXU dots. K = lanes [0, D).
+            D_ = q_buf.shape[-1]
+            k = kvc_buf[slot, :, pl.ds(0, D_)].astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
@@ -211,7 +202,11 @@ def _prefill_kernel(
             vrow = i * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (page_size, 1), 0
             )
-            v_tile = jnp.where(vrow < clen, vc_buf[slot].astype(q.dtype), 0)
+            v_tile = jnp.where(
+                vrow < clen,
+                kvc_buf[slot, :, pl.ds(D_, D_)].astype(q.dtype),
+                0,
+            )
             flash_update(s, v_tile)
             return 0
 
@@ -320,8 +315,7 @@ def paged_prefill_attention(
     q: jax.Array,  # [Tpad, HQ, D] packed varlen (Tpad >= packed end + TOKEN_SLACK)
     k_new: jax.Array,  # [Tpad, H, D]
     v_new: jax.Array,
-    k_pages: jax.Array,  # [rows, D]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [rows, 2D] interleaved cache
     page_table: jax.Array,  # [Bp, H, maxp] i32 (layer slice, slot-gathered)
     cached_lens: jax.Array,  # [Bp, H] i32 pre-store snapshot
     seq_starts: jax.Array,  # [Bp] i32, 8-token-aligned packed offsets
@@ -381,13 +375,12 @@ def paged_prefill_attention(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
         out_specs=tuple(out_specs) if score_chunks else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((TM * G, D), q.dtype),
             pltpu.VMEM((TM * G, D), q.dtype),
-            pltpu.VMEM((2, page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, page_size, D), v_pages.dtype),
+            pltpu.VMEM((2, page_size, 2 * D), kv_pages.dtype),
             pltpu.VMEM((2, TN, D), k_new.dtype),
             pltpu.VMEM((2, TN, D), v_new.dtype),
             pltpu.VMEM((TM * G, D), jnp.float32),
@@ -411,7 +404,7 @@ def paged_prefill_attention(
         cached_lens.astype(jnp.int32),
         page_table.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        q_hm, kn_hm, vn_hm, k_pages, v_pages,
+        q_hm, kn_hm, vn_hm, kv_pages,
     )
     o_hm = outs[0] if score_chunks else outs
     o = o_hm.reshape(H, T, G, D).transpose(1, 0, 2, 3).reshape(T, HQ, D)
@@ -439,11 +432,9 @@ def _decode_kernel_resident(
     q_ref,  # [Bd, H, G, D] VMEM
     kn_ref,  # [Bd, H, 1, D] VMEM — this step's key (merged in-register)
     vn_ref,  # [Bd, H, 1, D] VMEM
-    kp_hbm,
-    vp_hbm,
+    kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
-    k_buf,  # [2, CTX, D] whole per-(b,h) K
-    v_buf,  # [2, CTX, D]
+    kv_buf,  # [2, CTX, 2D] whole per-(b,h) interleaved K/V
     s_buf,  # [G, CTX] f32 QK logits scratch
     sems,  # DMA [2, NG, 2]
     *,
@@ -467,7 +458,7 @@ def _decode_kernel_resident(
     H = pl.num_programs(1)
     G, GP = group, group_pages
     D = q_ref.shape[-1]
-    CTX = k_buf.shape[1]
+    CTX = kv_buf.shape[1]
     base = base_ref[0]
     scale = sm_scale * LOG2E
 
@@ -484,17 +475,10 @@ def _decode_kernel_resident(
                 base + pt_ref[bb, hh, g * GP] * page_size, page_size
             )
             off = g * GP * page_size
-            return (
-                pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, GP * page_size), :],
-                    k_buf.at[slot, pl.ds(off, GP * page_size), :],
-                    sems.at[slot, g, 0],
-                ),
-                pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, GP * page_size), :],
-                    v_buf.at[slot, pl.ds(off, GP * page_size), :],
-                    sems.at[slot, g, 1],
-                ),
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, GP * page_size), :],
+                kv_buf.at[slot, pl.ds(off, GP * page_size), :],
+                sems.at[slot, g, 0],
             )
 
         def page_copies(g, j):
@@ -502,17 +486,10 @@ def _decode_kernel_resident(
                 base + pt_ref[bb, hh, g * GP + j] * page_size, page_size
             )
             off = (g * GP + j) * page_size
-            return (
-                pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, page_size), :],
-                    k_buf.at[slot, pl.ds(off, page_size), :],
-                    sems.at[slot, g, 0],
-                ),
-                pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, page_size), :],
-                    v_buf.at[slot, pl.ds(off, page_size), :],
-                    sems.at[slot, g, 1],
-                ),
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, page_size), :],
+                kv_buf.at[slot, pl.ds(off, page_size), :],
+                sems.at[slot, g, 0],
             )
 
         def body(g, _):
@@ -520,28 +497,24 @@ def _decode_kernel_resident(
 
             @pl.when(is_run)
             def _():
-                kd, vd = run_copies(g)
+                d = run_copies(g)
                 if wait:
-                    kd.wait()
-                    vd.wait()
+                    d.wait()
                 else:
-                    kd.start()
-                    vd.start()
+                    d.start()
 
             @pl.when(jnp.logical_not(is_run))
             def _():
                 for j in range(GP):
                     @pl.when(g * GP + j < npages)
                     def _():
-                        kd, vd = page_copies(g, j)
+                        d = page_copies(g, j)
                         if wait:
-                            # Per-page copies in a group share its semaphore
-                            # pair; one wait per started copy.
-                            kd.wait()
-                            vd.wait()
+                            # Per-page copies in a group share its semaphore;
+                            # one wait per started copy.
+                            d.wait()
                         else:
-                            kd.start()
-                            vd.start()
+                            d.start()
 
             return 0
 
@@ -575,7 +548,7 @@ def _decode_kernel_resident(
     for g in range(NGR):
         @pl.when(g * GSZ < length)
         def _():
-            k_g = k_buf[slot, pl.ds(g * GSZ, GSZ), :].astype(q.dtype)
+            k_g = kv_buf[slot, pl.ds(g * GSZ, GSZ), pl.ds(0, D)].astype(q.dtype)
             s_buf[:, pl.ds(g * GSZ, GSZ)] = jax.lax.dot_general(
                 q, k_g, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -597,7 +570,9 @@ def _decode_kernel_resident(
     p_self = jnp.exp2(s_self - m)
     l = jnp.sum(p, axis=-1, keepdims=True) + p_self
     vrow = jax.lax.broadcasted_iota(jnp.int32, (CTX, 1), 0)
-    v_tile = jnp.where(vrow < length, v_buf[slot].astype(q.dtype), 0)
+    v_tile = jnp.where(
+        vrow < length, kv_buf[slot, :, pl.ds(D, D)].astype(q.dtype), 0
+    )
     acc = jax.lax.dot(
         p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
     )  # [G, D] — contraction-dim streaming pipelines
@@ -614,11 +589,9 @@ def _decode_kernel(
     q_ref,  # [Bd, H, G, D] VMEM (free reshape of [Bd, HQ, D])
     kn_ref,  # [Bd, H, 1, D] VMEM — this step's key (merged in-register)
     vn_ref,  # [Bd, H, 1, D] VMEM
-    kp_hbm,
-    vp_hbm,
+    kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
-    k_buf,  # [2, GROUP*page, D]
-    v_buf,  # [2, GROUP*page, D]
+    kv_buf,  # [2, GROUP*page, 2D] interleaved K/V
     sems,  # DMA [2, GROUP, 2]
     *,
     sm_scale: float,
@@ -644,17 +617,10 @@ def _decode_kernel(
             row = pl.multiple_of(
                 base + pt_ref[b, h, i * GP + j] * page_size, page_size
             )
-            return (
-                pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, page_size), :],
-                    k_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                    sems.at[slot, j, 0],
-                ),
-                pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, page_size), :],
-                    v_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                    sems.at[slot, j, 1],
-                ),
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, page_size), :],
+                kv_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                sems.at[slot, j, 0],
             )
 
         def run_dma(slot, i):
@@ -663,15 +629,9 @@ def _decode_kernel(
             row = pl.multiple_of(
                 base + pt_ref[b, h, i * GP] * page_size, page_size
             )
-            return (
-                pltpu.make_async_copy(
-                    kp_hbm.at[pl.ds(row, GP * page_size), :],
-                    k_buf.at[slot], sems.at[slot, 0, 0],
-                ),
-                pltpu.make_async_copy(
-                    vp_hbm.at[pl.ds(row, GP * page_size), :],
-                    v_buf.at[slot], sems.at[slot, 0, 1],
-                ),
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, GP * page_size), :],
+                kv_buf.at[slot], sems.at[slot, 0, 0],
             )
 
         def is_run(i):
@@ -680,34 +640,26 @@ def _decode_kernel(
         def start_group(slot, i):
             @pl.when(is_run(i))
             def _():
-                kd, vd = run_dma(slot, i)
-                kd.start()
-                vd.start()
+                run_dma(slot, i).start()
 
             @pl.when(jnp.logical_not(is_run(i)))
             def _():
                 for j in range(GP):
                     @pl.when(i * GP + j < num_pages)
                     def _():
-                        kd, vd = page_dma(slot, i, j)
-                        kd.start()
-                        vd.start()
+                        page_dma(slot, i, j).start()
 
         def wait_group(slot, i):
             @pl.when(is_run(i))
             def _():
-                kd, vd = run_dma(slot, i)
-                kd.wait()
-                vd.wait()
+                run_dma(slot, i).wait()
 
             @pl.when(jnp.logical_not(is_run(i)))
             def _():
                 for j in range(GP):
                     @pl.when(i * GP + j < num_pages)
                     def _():
-                        kd, vd = page_dma(slot, i, j)
-                        kd.wait()
-                        vd.wait()
+                        page_dma(slot, i, j).wait()
 
         start_group(0, 0)
 
@@ -722,7 +674,7 @@ def _decode_kernel(
 
             wait_group(slot, i)
             # fp8 KV tiles are VPU-upcast to the query dtype before the dot.
-            k = k_buf[slot].astype(q.dtype)  # [GP*page, D]
+            k = kv_buf[slot, :, pl.ds(0, D)].astype(q.dtype)  # [GP*page, D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [G, GP*page]
@@ -740,7 +692,9 @@ def _decode_kernel(
             vrow = i * GP * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (GP * page_size, 1), 0
             )
-            v_tile = jnp.where(vrow < length, v_buf[slot].astype(q.dtype), 0)
+            v_tile = jnp.where(
+                vrow < length, kv_buf[slot, :, pl.ds(D, D)].astype(q.dtype), 0
+            )
             acc = acc * corr + jax.lax.dot(
                 p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
             )
@@ -774,8 +728,7 @@ def paged_decode_attention(
     q: jax.Array,  # [Bd, HQ, D]
     k_new: jax.Array,  # [Bd, H, D] this step's key (self, not yet in cache)
     v_new: jax.Array,
-    k_pages: jax.Array,  # [rows, D]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [rows, 2D] interleaved cache
     page_table: jax.Array,  # [Bd, H, maxp]
     lens: jax.Array,  # [Bd, H] cached (pre-append) lengths
     row_base: jax.Array,
@@ -809,8 +762,7 @@ def paged_decode_attention(
             group=G, group_pages=group_pages,
         )
         scratch = [
-            pltpu.VMEM((2, ctx, D), k_pages.dtype),
-            pltpu.VMEM((2, ctx, D), v_pages.dtype),
+            pltpu.VMEM((2, ctx, 2 * D), kv_pages.dtype),
             pltpu.VMEM((G, ctx), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ng, 2)),
         ]
@@ -820,8 +772,7 @@ def paged_decode_attention(
             group_pages=group_pages,
         )
         scratch = [
-            pltpu.VMEM((2, group_pages * page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, group_pages * page_size, D), v_pages.dtype),
+            pltpu.VMEM((2, group_pages * page_size, 2 * D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, group_pages, 2)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -831,7 +782,6 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -850,7 +800,7 @@ def paged_decode_attention(
         page_table.astype(jnp.int32),
         contig8.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        q_hm, kn_hm, vn_hm, k_pages, v_pages,
+        q_hm, kn_hm, vn_hm, kv_pages,
     )
     return o_hm.reshape(Bd, HQ, D)
 
@@ -868,10 +818,12 @@ def _store_kernel(
     page0_ref,  # [Bp, H] i32: first destination page column (chunked prefill)
     contig_ref,  # [Bp, H, ceil(maxp/GROUP)] i32 consecutive-run flags
     base_ref,  # [1] i32
-    # fused: kvs_hbm [N, 2D] ([:, :D] = K, [:, D:] = V); else ks_hbm, vs_hbm
-    *refs,  # sources, kp_in, vp_in, kp_out, vp_out, sems
+    kvs_hbm,  # [N, 2D] interleaved source rows (segment-contiguous per (b,h))
+    kvp_in,  # [rows, 2D] (aliased to the output)
+    kvp_out,  # == kvp_in
+    sems,  # DMA [RING, GROUP]
+    *,
     page_size: int,
-    fused: bool,
 ):
     """Page-group-granular HBM->HBM cache store.
 
@@ -889,24 +841,6 @@ def _store_kernel(
     Reference stores into freshly reserved pages too
     (store_kv_cache.py:81-175, 252-371).
     """
-    if fused:
-        kvs_hbm, kp_in, vp_in, kp_out, vp_out, sems = refs
-        D = kp_out.shape[-1]
-
-        def ksrc(start, n):
-            return kvs_hbm.at[pl.ds(start, n), pl.ds(0, D)]
-
-        def vsrc(start, n):
-            return kvs_hbm.at[pl.ds(start, n), pl.ds(D, D)]
-    else:
-        ks_hbm, vs_hbm, kp_in, vp_in, kp_out, vp_out, sems = refs
-
-        def ksrc(start, n):
-            return ks_hbm.at[pl.ds(start, n), :]
-
-        def vsrc(start, n):
-            return vs_hbm.at[pl.ds(start, n), :]
-
     b = pl.program_id(0)
     h = pl.program_id(1)
     GP = STORE_GROUP
@@ -925,17 +859,10 @@ def _store_kernel(
         dst = pl.multiple_of(
             base + pt_ref[b, h, p0 + g * GP + j] * page_size, page_size
         )
-        return (
-            pltpu.make_async_copy(
-                ksrc(src, page_size),
-                kp_out.at[pl.ds(dst, page_size), :],
-                sems.at[slot, j, 0],
-            ),
-            pltpu.make_async_copy(
-                vsrc(src, page_size),
-                vp_out.at[pl.ds(dst, page_size), :],
-                sems.at[slot, j, 1],
-            ),
+        return pltpu.make_async_copy(
+            kvs_hbm.at[pl.ds(src, page_size), :],
+            kvp_out.at[pl.ds(dst, page_size), :],
+            sems.at[slot, j],
         )
 
     def run_dma(slot, g):
@@ -943,17 +870,10 @@ def _store_kernel(
         dst = pl.multiple_of(
             base + pt_ref[b, h, p0 + g * GP] * page_size, page_size
         )
-        return (
-            pltpu.make_async_copy(
-                ksrc(src, GP * page_size),
-                kp_out.at[pl.ds(dst, GP * page_size), :],
-                sems.at[slot, 0, 0],
-            ),
-            pltpu.make_async_copy(
-                vsrc(src, GP * page_size),
-                vp_out.at[pl.ds(dst, GP * page_size), :],
-                sems.at[slot, 0, 1],
-            ),
+        return pltpu.make_async_copy(
+            kvs_hbm.at[pl.ds(src, GP * page_size), :],
+            kvp_out.at[pl.ds(dst, GP * page_size), :],
+            sems.at[slot, 0],
         )
 
     def is_run(g):
@@ -966,34 +886,26 @@ def _store_kernel(
     def start_group(slot, g):
         @pl.when(is_run(g))
         def _():
-            kd, vd = run_dma(slot, g)
-            kd.start()
-            vd.start()
+            run_dma(slot, g).start()
 
         @pl.when(jnp.logical_not(is_run(g)))
         def _():
             for j in range(GP):
                 @pl.when(g * GP + j < npages)
                 def _():
-                    kd, vd = page_dma(slot, g, j)
-                    kd.start()
-                    vd.start()
+                    page_dma(slot, g, j).start()
 
     def wait_group(slot, g):
         @pl.when(is_run(g))
         def _():
-            kd, vd = run_dma(slot, g)
-            kd.wait()
-            vd.wait()
+            run_dma(slot, g).wait()
 
         @pl.when(jnp.logical_not(is_run(g)))
         def _():
             for j in range(GP):
                 @pl.when(g * GP + j < npages)
                 def _():
-                    kd, vd = page_dma(slot, g, j)
-                    kd.wait()
-                    vd.wait()
+                    page_dma(slot, g, j).wait()
 
     def body(g, _):
         # Drain the ring slot before reusing its semaphores.
@@ -1011,10 +923,8 @@ def _store_kernel(
 
 
 def paged_store_prefill(
-    k_src: jax.Array,  # [N, D] segment-contiguous source rows
-    v_src: jax.Array,
-    k_pages: jax.Array,  # [rows, D]
-    v_pages: jax.Array,
+    kv_src: jax.Array,  # [N, 2D] interleaved segment-contiguous source rows
+    kv_pages: jax.Array,  # [rows, 2D]
     src_row_start: jax.Array,  # [Bp, H] i32 (8-aligned)
     counts: jax.Array,  # [Bp, H] i32
     page_table: jax.Array,  # [Bp, H, maxp]
@@ -1025,11 +935,10 @@ def paged_store_prefill(
     store_contig: jax.Array | None = None,  # [Bp, H, ceil(maxp/GROUP)] run flags
     interpret: bool = False,
 ):
-    """Returns updated (k_pages, v_pages); the cache buffers are aliased
-    in-place. `v_src=None` marks a fused source: `k_src` is [N, 2D] with K in
-    the first D lanes and V in the second (one host gather for both)."""
+    """Returns the updated kv_pages; the cache buffer is aliased in-place.
+    K occupies source/destination lanes [0, D), V [D, 2D) — each DMA moves
+    both."""
     Bp, H = counts.shape
-    fused = v_src is None
     if dst_page0 is None:
         dst_page0 = jnp.zeros((Bp, H), jnp.int32)
     ng = -(-page_table.shape[2] // STORE_GROUP)
@@ -1037,29 +946,20 @@ def paged_store_prefill(
         store_contig = jnp.zeros((Bp, H, ng), jnp.int32)
     else:
         store_contig = store_contig[:, :, :ng]
-    kernel = functools.partial(_store_kernel, page_size=page_size, fused=fused)
-    n_src = 1 if fused else 2
+    kernel = functools.partial(_store_kernel, page_size=page_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(Bp, H),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        * (n_src + 2),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4, STORE_GROUP, 2))],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4, STORE_GROUP))],
     )
-    srcs = (k_src,) if fused else (k_src, v_src)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
-        ),
-        # kp/vp inputs follow the 6 scalars + sources.
-        input_output_aliases={6 + n_src: 0, 7 + n_src: 1},
+        out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+        # kv_pages input follows the 6 scalars + source.
+        input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
@@ -1069,7 +969,7 @@ def paged_store_prefill(
         dst_page0.astype(jnp.int32),
         store_contig.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        *srcs, k_pages, v_pages,
+        kv_src, kv_pages,
     )
 
 
@@ -1097,7 +997,7 @@ def pallas_attention_impl(interpret: bool = False):
         # the kernel walks exactly those pages).
         clens = prefill_cached_lens(meta, geom.num_kv_heads)
         return paged_prefill_attention(
-            q, k, v, cache.k_pages, cache.v_pages, pt, clens,
+            q, k, v, cache.kv_pages, pt, clens,
             meta.seq_starts, meta.seq_lens,
             layer * geom.rows_per_layer,
             sm_scale=sm_scale, page_size=geom.page_size, max_q=max_q,
@@ -1113,16 +1013,16 @@ def pallas_attention_impl(interpret: bool = False):
 
     def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l, lens_l):
         return paged_decode_attention(
-            q, k_new, v_new, cache.k_pages, cache.v_pages, pt_l, lens_l,
+            q, k_new, v_new, cache.kv_pages, pt_l, lens_l,
             layer * geom.rows_per_layer, meta.contig8,
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )
 
-    def _finish_store(geom, cache, layer, kp, vp, slots, new_lens, seq_valid):
+    def _finish_store(geom, cache, layer, kvp, slots, new_lens, seq_valid):
         from compactor_vllm_tpu.kv_cache.state import _update_lens
 
         bh_lens = _update_lens(cache.bh_lens, layer, slots, new_lens, seq_valid)
-        return cache._replace(k_pages=kp, v_pages=vp, bh_lens=bh_lens)
+        return cache._replace(kv_pages=kvp, bh_lens=bh_lens)
 
     def store_full(geom, cache, layer, k, v, meta):
         """Uncompressed prefill store: per (seq, head) the source tokens are
@@ -1137,24 +1037,27 @@ def pallas_attention_impl(interpret: bool = False):
             cache.page_table, layer, 0, keepdims=False
         )[meta.slots]
         # Quantize to the cache dtype before the DMA source build (DMAs
-        # cannot convert; no-op when the cache matches the model dtype).
-        k = k.astype(cache.k_pages.dtype)
-        v = v.astype(cache.v_pages.dtype)
-        k_hm = k.transpose(1, 0, 2).reshape(H * T, D)
-        v_hm = v.transpose(1, 0, 2).reshape(H * T, D)
+        # cannot convert; no-op when the cache matches the model dtype), and
+        # interleave K|V lanes to match the cache rows.
+        kv_hm = (
+            jnp.concatenate([k, v], axis=-1)
+            .astype(cache.kv_pages.dtype)
+            .transpose(1, 0, 2)
+            .reshape(H * T, 2 * D)
+        )
         heads = jnp.arange(H, dtype=jnp.int32)[None, :]
         src_start = heads * T + meta.seq_starts[:, None]  # [Bp, H], 8-aligned
         counts = jnp.where(meta.seq_valid, meta.seq_lens, 0)[:, None] * jnp.ones(
             (1, H), jnp.int32
         )
         cached = prefill_cached_lens(meta, H)
-        kp, vp = paged_store_prefill(
-            k_hm, v_hm, cache.k_pages, cache.v_pages, src_start, counts, pt,
+        kvp = paged_store_prefill(
+            kv_hm, cache.kv_pages, src_start, counts, pt,
             layer * geom.rows_per_layer, page_size=geom.page_size,
             dst_page0=cached // geom.page_size,
             store_contig=meta.store_contig, interpret=interpret,
         )
-        return _finish_store(geom, cache, layer, kp, vp, meta.slots,
+        return _finish_store(geom, cache, layer, kvp, meta.slots,
                              cached + counts, meta.seq_valid)
 
     def store_topk(geom, cache, layer, k, v, topk_idx, topk_valid, meta):
@@ -1216,21 +1119,17 @@ def pallas_attention_impl(interpret: bool = False):
         src = jnp.concatenate([src, jnp.zeros(page, jnp.int32)])  # tail slack
         # ONE row gather for K and V together (row latency dominates; fusing
         # halves the row count), split by the store kernel's lane-slice DMAs.
-        kv_sel = jnp.concatenate(
-            [
-                k.astype(cache.k_pages.dtype).reshape(T * H, D),
-                v.astype(cache.v_pages.dtype).reshape(T * H, D),
-            ],
-            axis=-1,
-        )[src]
+        kv_sel = jnp.concatenate([k, v], axis=-1).astype(
+            cache.kv_pages.dtype
+        ).reshape(T * H, 2 * D)[src]
 
         seg_start = jnp.arange(Bp, dtype=jnp.int32)[:, None] * Kpad + starts8
-        kp, vp = paged_store_prefill(
-            kv_sel, None, cache.k_pages, cache.v_pages, seg_start, counts, pt,
+        kvp = paged_store_prefill(
+            kv_sel, cache.kv_pages, seg_start, counts, pt,
             layer * geom.rows_per_layer, page_size=page,
             store_contig=meta.store_contig, interpret=interpret,
         )
-        return _finish_store(geom, cache, layer, kp, vp, meta.slots, counts,
+        return _finish_store(geom, cache, layer, kvp, meta.slots, counts,
                              meta.seq_valid)
 
     return AttentionImpl(

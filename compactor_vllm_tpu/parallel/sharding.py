@@ -135,8 +135,7 @@ def cache_pspecs() -> KVCacheState:
     concatenated along the rows axis; the device order (dp-major, tp-minor)
     must match how the runner replicates the allocator's pools."""
     return KVCacheState(
-        k_pages=P((AXIS_DP, AXIS_TP), None),
-        v_pages=P((AXIS_DP, AXIS_TP), None),
+        kv_pages=P((AXIS_DP, AXIS_TP), None),
         page_table=P(None, AXIS_DP, AXIS_TP, None),
         bh_lens=P(None, AXIS_DP, AXIS_TP),
     )

@@ -125,7 +125,7 @@ def test_prefill_kernel_vs_oracle(seq_lens, cache_desc, HQ):
     pt = np.asarray(state.page_table)[0][slots]  # [B, H, maxp]
     got = paged_prefill_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        state.kv_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
         jnp.asarray(starts), jnp.asarray(lens), 0,
         sm_scale=sm, page_size=PAGE, max_q=max_q, interpret=True,
     )
@@ -195,13 +195,13 @@ def test_prefill_fused_chunk_scores_vs_oracle(seq_lens, HQ):
 
     o_plain = paged_prefill_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        state.kv_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
         jnp.asarray(starts), jnp.asarray(lens), 0,
         sm_scale=sm, page_size=PAGE, max_q=max_q, interpret=True,
     )
     o_scored, colmass = paged_prefill_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
+        state.kv_pages, jnp.asarray(pt), jnp.asarray(cache_lens),
         jnp.asarray(starts), jnp.asarray(lens), 0,
         sm_scale=sm, page_size=PAGE, max_q=max_q, score_chunks=True,
         interpret=True,
@@ -248,7 +248,7 @@ def test_decode_kernel_vs_oracle(HQ, use_contig):
         assert contig.any(), "test setup must exercise the run-DMA path"
     got = paged_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages,
+        state.kv_pages,
         jnp.asarray(pt), jnp.asarray(lens), 0,
         None if contig is None else jnp.asarray(contig),
         sm_scale=sm, page_size=PAGE, interpret=True,
@@ -276,7 +276,7 @@ def test_decode_kernel_empty_cache_attends_self_only():
     got = np.asarray(
         paged_decode_attention(
             jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-            state.k_pages, state.v_pages,
+            state.kv_pages,
             jnp.asarray(pt), jnp.asarray(lens), 0,
             sm_scale=1.0, page_size=PAGE, interpret=True,
         )
@@ -371,8 +371,7 @@ def test_decode_kernel_fp8_cache_matches_oracle():
     cache_lens = rng.integers(20, 60, size=(B, H)).astype(np.int32)
     state, slots = build_cache(rng, [1] * B, cache_lens)
     state = state._replace(
-        k_pages=state.k_pages.astype(jnp.float8_e4m3fn),
-        v_pages=state.v_pages.astype(jnp.float8_e4m3fn),
+        kv_pages=state.kv_pages.astype(jnp.float8_e4m3fn),
     )
     q = rng.normal(size=(B, H * 2, D)).astype(np.float32)
     kn = rng.normal(size=(B, H, D)).astype(np.float32)
@@ -382,7 +381,7 @@ def test_decode_kernel_fp8_cache_matches_oracle():
     lens = np.asarray(state.bh_lens)[0][slots]
     got = paged_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages,
+        state.kv_pages,
         jnp.asarray(pt), jnp.asarray(lens), 0, None,
         sm_scale=sm, page_size=PAGE, interpret=True,
     )
@@ -413,7 +412,7 @@ def test_decode_kernel_ring_path_matches_oracle(monkeypatch):
     contig = np.stack([alloc.contig_groups(s_, 8) for s_ in slots]).astype(np.int32)
     got = pa.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        state.k_pages, state.v_pages,
+        state.kv_pages,
         jnp.asarray(pt), jnp.asarray(lens), 0, jnp.asarray(contig),
         sm_scale=sm, page_size=PAGE, group_pages=8, interpret=True,
     )
