@@ -369,9 +369,14 @@ def _attention_block(
                 o = attn.prefill(geom, cache, layer, q, k, v, m,
                                  spec.sm_scale, max_q)
             b_pad = m.slots.shape[0]
+            # Only methods that opted in receive the fused colmass — custom
+            # registered methods keep the documented 5-arg signature.
+            kw = (
+                {"postrope_colmass": colmass}
+                if method.wants_postrope_colmass else {}
+            )
             scores = method.score(
-                q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad,
-                postrope_colmass=colmass,
+                q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad, **kw
             )
             max_q_sel = min(comp.max_seq_static or max_q, max_q)
             idx, valid_k = topk_retain_indices(

@@ -214,3 +214,45 @@ def test_fp8_kv_cache_engine_runs_and_first_tokens_exact(tiny_model):
     for a, b in zip(o8, o32):
         assert len(a.completion_token_ids) == 6
         assert a.completion_token_ids[0] == b.completion_token_ids[0]
+
+
+def test_custom_registered_method_with_documented_signature(tiny_model):
+    """The README extension recipe: a registered method with the plain 5-arg
+    score signature (no postrope_colmass kwarg) must run end-to-end."""
+    from compactor_vllm_tpu.compression import (
+        COMPRESSION_REGISTRY,
+        ScoringMethod,
+        apply_protection,
+        register_method,
+    )
+
+    def my_scores(q, k_prerope, k_postrope, meta, comp, *, t_pad, b_pad):
+        scores = jnp.linalg.norm(k_postrope.astype(jnp.float32), axis=-1)
+        return apply_protection(
+            scores, meta.seq_lens, meta.token_seq_idx, meta.token_in_pos,
+            meta.token_valid, meta.protected_first, meta.protected_last,
+        )
+
+    register_method("knorm_test", ScoringMethod(score=my_scores))
+    try:
+        eng = make_engine(tiny_model)
+        rng = np.random.default_rng(8)
+        seqs = [
+            Sequence(
+                rng.integers(1, 128, size=40).tolist(),
+                sampling_params=SamplingParams(0.0, 4),
+                compression_params=SequenceCompressionParams(
+                    compression_ratio=0.5, protected_first_tokens=2,
+                    protected_last_tokens=8,
+                ),
+            )
+        ]
+        outs = eng.generate_from_sequences(
+            seqs,
+            BatchCompressionParams(
+                compression_method="knorm_test", chunk_size=16
+            ),
+        )
+        assert len(outs[0].completion_token_ids) == 4
+    finally:
+        COMPRESSION_REGISTRY.pop("knorm_test", None)
