@@ -82,11 +82,21 @@ class SequenceCompressionParams:
     compression_ratio: float = 1.0
     protected_first_tokens: int = 16
     protected_last_tokens: int = 64
+    # Opt-in cap on any single head's retained tokens, as a multiple of the
+    # budget-implied per-head average (plus protected spans). The joint
+    # (token, head) top-k permits arbitrary per-head skew, which forces
+    # admission to reserve pages for the WHOLE prompt per head; with a cap
+    # the scheduler reserves only cap + max_new tokens per head — the
+    # reclaim-aware admission that makes 128K prompts servable on a 16 GB
+    # chip. None preserves the reference's uncapped semantics.
+    max_head_retention_factor: float | None = None
 
     def __post_init__(self):
         assert 0.0 < self.compression_ratio <= 1.0
         assert self.protected_first_tokens >= 0
         assert self.protected_last_tokens >= 0
+        if self.max_head_retention_factor is not None:
+            assert self.max_head_retention_factor >= 1.0
 
 
 @dataclass(frozen=True)

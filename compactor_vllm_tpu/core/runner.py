@@ -697,15 +697,18 @@ class ModelRunner:
         retain = np.ones(b_pad, np.int32)
         pf = np.zeros(b_pad, np.int32)
         pl = np.zeros(b_pad, np.int32)
+        hcap = np.zeros(b_pad, np.int32)
         temps = np.zeros(b_pad, np.float32)
         for i, s in enumerate(seqs):
             slots[i] = self.allocs[group].slot_of_seq[s.seq_id]
             retain[i] = s.effective_retain_budget(self.lspec.num_kv_heads)
             pf[i] = s.compression_params.protected_first_tokens
             pl[i] = s.compression_params.protected_last_tokens
+            hcap[i] = s.head_retention_cap(self.lspec.num_kv_heads)
             temps[i] = s.sampling_params.temperature
         a["slots"], a["retain"] = slots, retain
         a["protected_first"], a["protected_last"] = pf, pl
+        a["head_cap"] = hcap
         a["seq_valid"] = np.arange(b_pad) < B
         from compactor_vllm_tpu.ops.pallas_attention import STORE_GROUP
 
@@ -948,6 +951,9 @@ class ModelRunner:
                     )
         for gi in range(dp):
             self.scheds[gi].allow_chunking = chunking
+            self.scheds[gi].compressing = not is_none_method(
+                bp.compression_method
+            )
             self.scheds[gi].add(seqs[gi::dp])
         active: list[list[Sequence]] = [[] for _ in range(dp)]
         eos = self.cfg.eos

@@ -25,6 +25,9 @@ class Scheduler:
         # compression needs whole-prompt batches, so chunking is disabled
         # when a compressing BatchCompressionParams is active.
         self.allow_chunking = cfg.enable_chunked_prefill
+        # Set per generate() call: whether a compressing method is active
+        # (gates the per-head retention-cap reservations).
+        self.compressing = False
         self.running: dict[int, Sequence] = {}
         self.num_finished = 0
         self.total = 0
@@ -92,8 +95,18 @@ class Scheduler:
                         break
             first_chunk = seq.num_prefilled_tokens == 0
             if first_chunk:
+                # Reclaim-aware admission: with an opt-in per-head retention
+                # cap, only cap + max_new tokens per head need pages — the
+                # compressed store enforces the cap, so the reservation can
+                # never overflow. Uncapped sequences reserve the full prompt
+                # (the reference's reserve-then-reclaim model).
+                reserve_tokens = seq.num_prompt_tokens
+                if self.compressing:
+                    cap = seq.head_retention_cap(self.alloc.H)
+                    if cap:
+                        reserve_tokens = cap
                 total_len = min(
-                    seq.num_prompt_tokens + seq.sampling_params.max_new_tokens,
+                    reserve_tokens + seq.sampling_params.max_new_tokens,
                     self.cfg.max_model_len,
                 )
                 if len(batch) + 1 > self.cfg.max_num_seqs:

@@ -177,6 +177,7 @@ def store_prefill_topk(
     slots: jax.Array,  # [Bp]
     cached_lens: jax.Array,  # [Bp, H]
     seq_valid: jax.Array,  # [Bp]
+    head_cap: jax.Array | None = None,  # [Bp] per-head retention cap (0=off)
 ) -> KVCacheState:
     """Compressed prefill store: scatter only the selected (token, head) pairs.
 
@@ -210,6 +211,14 @@ def store_prefill_topk(
 
     seq_idx = jnp.arange(Bp, dtype=jnp.int32)[:, None]
     valid = topk_valid & seq_valid[:, None]
+    retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
+    if head_cap is not None:
+        # Opt-in per-head cap: selection ranks past the cap are dropped
+        # (ranks follow selection order, so protected +inf entries — the
+        # earliest ranks — always survive).
+        cap_eff = jnp.where(head_cap > 0, head_cap, K + 1)[:, None]
+        valid = valid & (rank < cap_eff)
+        retained = jnp.minimum(retained, cap_eff)
     pos = cached_lens[seq_idx, head] + rank  # [Bp, K]
     rows = _cache_rows(
         geom, layer, pt_l, slots[seq_idx], head, pos, valid
@@ -227,7 +236,6 @@ def store_prefill_topk(
         kv_sel, unique_indices=True, mode="drop"
     )
 
-    retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
     new_lens = cached_lens + retained
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
     return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)

@@ -165,6 +165,10 @@ class PrefillMeta(NamedTuple):
     # each slot's reserved pages (PageAllocator.contig_groups) — the Pallas
     # store moves a whole group per DMA when set. None => per-page DMAs.
     store_contig: jax.Array | None = None
+    # [Bp] i32 opt-in per-head retained-token cap (0 = uncapped): the
+    # compressed store drops selection ranks >= cap so admission can reserve
+    # only cap + max_new pages per head (reclaim-aware admission).
+    head_cap: jax.Array | None = None
 
 
 class DecodeMeta(NamedTuple):
@@ -389,6 +393,7 @@ def _attention_block(
                 cache = store_prefill_topk(
                     geom, cache, layer, k, v, idx, valid_k,
                     m.seq_starts, m.slots, cached_lens, m.seq_valid,
+                    head_cap=m.head_cap,
                 )
         kv_out = None
     else:

@@ -1086,12 +1086,20 @@ def pallas_attention_impl(interpret: bool = False):
         head_sorted = skey >> shift
         order = skey & ((1 << shift) - 1)  # original top-k position per sorted slot
         counts_all = jax.vmap(lambda x: jnp.bincount(x, length=H + 1))(head_sorted)
-        counts = counts_all[:, :H].astype(jnp.int32)
-        counts = counts * meta.seq_valid[:, None]
+        counts_raw = counts_all[:, :H].astype(jnp.int32)
+        counts_raw = counts_raw * meta.seq_valid[:, None]
+        # Source positions in the sorted order use the UNCAPPED cumsum; the
+        # retained counts (destination layout + lens) apply the opt-in
+        # per-head cap — only the first `cap` selection ranks of each head
+        # survive (protected +inf entries rank first and always fit).
         starts_exact = jnp.concatenate(
             [jnp.zeros((Bp, 1), jnp.int32),
-             jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
+             jnp.cumsum(counts_raw, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
         )
+        counts = counts_raw
+        if meta.head_cap is not None:
+            cap_eff = jnp.where(meta.head_cap > 0, meta.head_cap, K + 1)
+            counts = jnp.minimum(counts, cap_eff[:, None])
         c8 = ((counts + 7) // 8) * 8
         starts8 = jnp.concatenate(
             [jnp.zeros((Bp, 1), jnp.int32),

@@ -80,6 +80,29 @@ class Sequence:
         span = self.num_prompt_tokens - p.protected_first_tokens - p.protected_last_tokens
         return max(int(round(p.compression_ratio * span * num_kv_heads)), 1)
 
+    def head_retention_cap(self, num_kv_heads: int = 0) -> int:
+        """Per-head retained-token cap (0 = uncapped): factor x the per-head
+        budget average (ratio x unprotected span), plus the protected spans
+        (which always survive selection and must fit under the cap). The
+        formula is deliberately head-count-free so the scheduler's page
+        reservation (global heads) and the store's enforcement (shard-local
+        heads) agree exactly."""
+        p = self.compression_params
+        f = p.max_head_retention_factor
+        if not f or p.compression_ratio >= 1.0:
+            return 0
+        span = max(
+            self.num_prompt_tokens
+            - p.protected_first_tokens
+            - p.protected_last_tokens,
+            0,
+        )
+        cap = (
+            int(f * p.compression_ratio * span) + 1
+            + p.protected_first_tokens + p.protected_last_tokens
+        )
+        return min(self.num_prompt_tokens, max(cap, 1))
+
     def clamp_compression_if_protected(self) -> None:
         """Disable compression when protected regions cover the whole prompt
         (reference: core/llm_engine.py:144-145)."""

@@ -256,3 +256,77 @@ def test_custom_registered_method_with_documented_signature(tiny_model):
         assert len(outs[0].completion_token_ids) == 4
     finally:
         COMPRESSION_REGISTRY.pop("knorm_test", None)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "reference"])
+def test_head_retention_cap_bounds_lens_and_reservation(tiny_model, backend):
+    """Opt-in per-head retention cap (reclaim-aware admission): per-head
+    retained lens never exceed the cap, admission reserves only cap+max_new
+    pages per head (so a prompt that could NOT be admitted uncapped fits),
+    and generation still completes."""
+    from compactor_vllm_tpu.config import AttentionBackend
+
+    hf_cfg, hf = tiny_model
+    # Tiny pool: uncapped admission of a 160-token prompt needs
+    # ceil(168/8)=21 pages/head; give the pool less than that per head.
+    eng = make_engine(
+        tiny_model, max_model_len=256, num_kv_pages=36,
+        prefill_token_buckets=(256,),
+        attention_backend=AttentionBackend(backend),
+    )
+    rng = np.random.default_rng(9)
+    cp = SequenceCompressionParams(
+        compression_ratio=0.25, protected_first_tokens=2,
+        protected_last_tokens=8, max_head_retention_factor=1.5,
+    )
+    seq = Sequence(
+        rng.integers(1, 128, size=160).tolist(),
+        sampling_params=SamplingParams(0.0, 4),
+        compression_params=cp,
+    )
+    cap = seq.head_retention_cap()
+    assert 0 < cap < 160
+    # Uncapped, this prompt cannot be admitted (pool too small).
+    uncapped = Sequence(
+        list(seq.prompt_token_ids),
+        sampling_params=SamplingParams(0.0, 4),
+        compression_params=SequenceCompressionParams(
+            compression_ratio=0.25, protected_first_tokens=2,
+            protected_last_tokens=8,
+        ),
+    )
+    with pytest.raises(RuntimeError, match="stuck"):
+        make_engine(
+            tiny_model, max_model_len=256, num_kv_pages=36,
+            prefill_token_buckets=(256,),
+            attention_backend=AttentionBackend(backend),
+        ).generate_from_sequences(
+            [uncapped],
+            BatchCompressionParams(
+                compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+            ),
+        )
+
+    runner = eng.runner
+    captured = {}
+    orig = runner.run_prefill
+
+    def capture(seqs_, bp_):
+        out = orig(seqs_, bp_)
+        slot = runner.alloc.slot_of_seq[seqs_[0].seq_id]
+        captured["lens"] = np.asarray(runner.cache.bh_lens[:, slot])
+        return out
+
+    runner.run_prefill = capture
+    outs = eng.generate_from_sequences(
+        [seq],
+        BatchCompressionParams(
+            compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+        ),
+    )
+    runner.run_prefill = orig
+    assert len(outs[0].completion_token_ids) == 4
+    lens = captured["lens"]  # [L, H]
+    assert (lens <= cap).all(), (lens.max(), cap)
+    assert (lens > 0).all()
+    eng.runner.alloc.check_invariants()
