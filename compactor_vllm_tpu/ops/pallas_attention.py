@@ -791,6 +791,10 @@ def paged_decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bd, H, G, D), q.dtype),
+        # Measured on v5e (single TensorCore): "parallel" on the batch dim
+        # is slightly SLOWER (1.25 -> 1.73 ms/layer at ctx2048 b16) and would
+        # race the resident kernel's cross-program prefetch on dual-core
+        # parts — keep sequential semantics (NOTES.md round 2).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
