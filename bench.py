@@ -51,12 +51,17 @@ def main():
         rope_theta=1000000.0,
     )
     prompt_len, new_tokens, n_requests = 4096, 128, 64
+    fp8 = "--fp8" in sys.argv  # fp8 KV variant (reported, not the headline)
     cfg = LLMConfig(
         max_num_seqs=64,
         max_model_len=prompt_len + new_tokens + 64,
         max_num_batched_tokens=16384,
         kvcache_page_size=64,
-        num_kv_pages=8704,  # ~8GB pool; compression reclaim sustains ~32 live seqs
+        # ~8GB pool; compression reclaim sustains ~32 live seqs (fp8 pages
+        # are half-size, so the same page count = a 4GB pool with headroom
+        # for more).
+        num_kv_pages=8704 if not fp8 else 17408,
+        kv_cache_dtype="fp8" if fp8 else "auto",
         eos=-1,
         seed=0,
         prefill_token_buckets=(16384,),
@@ -121,7 +126,8 @@ def main():
     )
 
     print(json.dumps({
-        "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",
+        "metric": "ruler4k_throughput_qwen3_1.7b_compactor50"
+        + ("_fp8kv" if fp8 else ""),
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
