@@ -60,7 +60,7 @@ def main():
         # ~8GB pool; compression reclaim sustains ~32 live seqs (fp8 pages
         # are half-size, so the same page count = a 4GB pool with headroom
         # for more).
-        num_kv_pages=8704 if not fp8 else 17408,
+        num_kv_pages=8704,  # same page count regardless of dtype: pages bound TOKEN capacity, so admission is identical and fp8 effects isolate
         kv_cache_dtype="fp8" if fp8 else "auto",
         eos=-1,
         seed=0,
@@ -108,7 +108,8 @@ def main():
     # Peak KV memory (BASELINE.md second headline: 60.3 GB uncompressed vs
     # 31.3 GB at 50% on the reference's H100 run).
     geom = engine.runner.geom
-    page_bytes = 2 * geom.page_size * geom.head_dim * 2  # k+v, bf16
+    itemsize = jnp.dtype(engine.runner._cache_dtype).itemsize
+    page_bytes = 2 * geom.page_size * geom.head_dim * itemsize  # k+v rows
     peak_gb = engine.runner.alloc.peak_used_pages * page_bytes * geom.num_layers / 2**30
     log(f"peak KV in use: {peak_gb:.2f} GB "
         f"(pool {geom.num_pages * page_bytes * geom.num_layers / 2**30:.2f} GB)")

@@ -61,6 +61,31 @@ def _row_tile(group: int, score_chunks: bool = False) -> int:
     return max(tm, 128) if score_chunks else tm
 
 
+
+
+def _upcast_tile(x, dtype):
+    """Upcast a cache tile to the compute dtype.
+
+    Mosaic's float8_e4m3 -> bf16 convert lowers catastrophically slowly on
+    the v5e (measured 4x on the whole decode step), so fp8 tiles are
+    converted with exact integer bit manipulation instead: normals remap the
+    exponent bias (7 -> 127), subnormals (m * 2^-9) convert via an exact
+    small-integer multiply."""
+    if x.dtype == jnp.float8_e4m3fn and dtype == jnp.bfloat16:
+        # All arithmetic in i32/f32 (Mosaic cannot legalize 16-bit vector
+        # shifts): an e4m3 normal maps to f32 bits as sign<<24 |
+        # (exp+120)<<23 | mantissa<<20, i.e. (em + 960) << 20 over the
+        # combined 7 exp+mantissa bits.
+        u = pltpu.bitcast(x, jnp.uint8).astype(jnp.int32)
+        sign = (u & 0x80) << 24
+        em = u & 0x7F
+        normal = pltpu.bitcast(sign | ((em + 960) << 20), jnp.float32)
+        sub_mag = em.astype(jnp.float32) * (2.0 ** -9)
+        sub = jnp.where(sign != 0, -sub_mag, sub_mag)
+        return jnp.where(em >= 8, normal, sub).astype(dtype)
+    return x.astype(dtype)
+
+
 # ----------------------------------------------------------------- prefill
 
 
@@ -189,7 +214,7 @@ def _prefill_kernel(
             # Cache tiles may be lower precision (fp8 KV): VPU-upcast to the
             # query dtype before the MXU dots. K = lanes [0, D).
             D_ = q_buf.shape[-1]
-            k = kvc_buf[slot, :, pl.ds(0, D_)].astype(q.dtype)
+            k = _upcast_tile(kvc_buf[slot, :, pl.ds(0, D_)], q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
@@ -204,7 +229,7 @@ def _prefill_kernel(
             )
             v_tile = jnp.where(
                 vrow < clen,
-                kvc_buf[slot, :, pl.ds(D_, D_)].astype(q.dtype),
+                _upcast_tile(kvc_buf[slot, :, pl.ds(D_, D_)], q.dtype),
                 0,
             )
             flash_update(s, v_tile)
@@ -548,7 +573,7 @@ def _decode_kernel_resident(
     for g in range(NGR):
         @pl.when(g * GSZ < length)
         def _():
-            k_g = kv_buf[slot, pl.ds(g * GSZ, GSZ), pl.ds(0, D)].astype(q.dtype)
+            k_g = _upcast_tile(kv_buf[slot, pl.ds(g * GSZ, GSZ), pl.ds(0, D)], q.dtype)
             s_buf[:, pl.ds(g * GSZ, GSZ)] = jax.lax.dot_general(
                 q, k_g, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -571,7 +596,7 @@ def _decode_kernel_resident(
     l = jnp.sum(p, axis=-1, keepdims=True) + p_self
     vrow = jax.lax.broadcasted_iota(jnp.int32, (CTX, 1), 0)
     v_tile = jnp.where(
-        vrow < length, kv_buf[slot, :, pl.ds(D, D)].astype(q.dtype), 0
+        vrow < length, _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype), 0
     )
     acc = jax.lax.dot(
         p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
@@ -674,7 +699,7 @@ def _decode_kernel(
 
             wait_group(slot, i)
             # fp8 KV tiles are VPU-upcast to the query dtype before the dot.
-            k = kv_buf[slot, :, pl.ds(0, D)].astype(q.dtype)  # [GP*page, D]
+            k = _upcast_tile(kv_buf[slot, :, pl.ds(0, D)], q.dtype)  # [GP*page, D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [G, GP*page]
@@ -693,7 +718,7 @@ def _decode_kernel(
                 jnp.int32, (GP * page_size, 1), 0
             )
             v_tile = jnp.where(
-                vrow < length, kv_buf[slot, :, pl.ds(D, D)].astype(q.dtype), 0
+                vrow < length, _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype), 0
             )
             acc = acc * corr + jax.lax.dot(
                 p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
