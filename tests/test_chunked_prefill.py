@@ -84,3 +84,33 @@ def test_chunked_prefill_rejects_compression_overflow():
                 compression_method=CompressionMethod.COMPACTOR, chunk_size=16
             ),
         )
+
+
+def test_chunked_prefill_under_dp2_matches_single_shot():
+    """Chunked prefill composed with engine-level data parallelism: each dp
+    group chunks its own long prompts independently; greedy tokens match the
+    dp=1 single-shot engine."""
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lens = [150, 40, 97, 130]
+    ref = make_engine(
+        spec, params, AttentionBackend.REFERENCE, chunked=False, budget=1024
+    ).generate_from_sequences(prompts(lens, spec.vocab_size))
+
+    cfg = LLMConfig(
+        max_num_seqs=4,
+        max_model_len=256,
+        max_num_batched_tokens=64,
+        kvcache_page_size=8,
+        num_kv_pages=256,
+        attention_backend=AttentionBackend.REFERENCE,
+        enable_chunked_prefill=True,
+        data_parallel_size=2,
+        dtype="float32",
+        eos=-2,
+        seed=3,
+    )
+    eng = LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+    got = eng.generate_from_sequences(prompts(lens, spec.vocab_size))
+    for a, b in zip(ref, got):
+        assert a.completion_token_ids == b.completion_token_ids
