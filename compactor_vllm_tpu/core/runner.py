@@ -986,10 +986,15 @@ class ModelRunner:
                 return True  # mid-prompt chunk: slot + pages already held
             if alloc.num_free_slots == 0:
                 return False
+            s = sched.waiting[0]
+            reserve_tokens = s.num_prompt_tokens
+            if sched.compressing:
+                cap = s.head_retention_cap(alloc.H)
+                if cap:
+                    reserve_tokens = cap
             return alloc.can_reserve(
                 min(
-                    sched.waiting[0].num_prompt_tokens
-                    + sched.waiting[0].sampling_params.max_new_tokens,
+                    reserve_tokens + s.sampling_params.max_new_tokens,
                     self.cfg.max_model_len,
                 )
             )
