@@ -52,6 +52,7 @@ def main():
     )
     prompt_len, new_tokens, n_requests = 4096, 128, 64
     fp8 = "--fp8" in sys.argv  # fp8 KV variant (reported, not the headline)
+    nocomp = "--nocomp" in sys.argv  # uncompressed comparison run
     cfg = LLMConfig(
         max_num_seqs=64,
         max_model_len=prompt_len + new_tokens + 64,
@@ -88,7 +89,10 @@ def main():
         ]
 
     bp = BatchCompressionParams(
-        compression_method=CompressionMethod.COMPACTOR, chunk_size=512
+        compression_method=(
+            CompressionMethod.NONE if nocomp else CompressionMethod.COMPACTOR
+        ),
+        chunk_size=512,
     )
 
     log("warmup (compiles prefill + decode programs at full shapes)...")
@@ -127,7 +131,8 @@ def main():
     )
 
     print(json.dumps({
-        "metric": "ruler4k_throughput_qwen3_1.7b_compactor50"
+        "metric": "ruler4k_throughput_qwen3_1.7b_"
+        + ("uncompressed" if nocomp else "compactor50")
         + ("_fp8kv" if fp8 else ""),
         "value": round(tok_s, 1),
         "unit": "tok/s",
