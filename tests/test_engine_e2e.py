@@ -330,3 +330,30 @@ def test_head_retention_cap_bounds_lens_and_reservation(tiny_model, backend):
     assert (lens <= cap).all(), (lens.max(), cap)
     assert (lens > 0).all()
     eng.runner.alloc.check_invariants()
+
+
+def test_fp8_kv_with_compression_runs(tiny_model):
+    """fp8 KV composed with Compactor compression: the compressed store
+    quantizes the selected rows; generation completes and the first sampled
+    token stays exact (fresh prefill never reads the cache)."""
+    eng8 = make_engine(tiny_model, kv_cache_dtype="fp8")
+    eng32 = make_engine(tiny_model)
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(1, 128, size=48).tolist()
+    cp = SequenceCompressionParams(
+        compression_ratio=0.5, protected_first_tokens=2,
+        protected_last_tokens=8,
+    )
+    bp = BatchCompressionParams(
+        compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+    )
+
+    def gen(eng):
+        seqs = [Sequence(list(prompt), sampling_params=SamplingParams(0.0, 5),
+                         compression_params=cp)]
+        return eng.generate_from_sequences(seqs, bp)
+
+    o8, o32 = gen(eng8), gen(eng32)
+    assert len(o8[0].completion_token_ids) == 5
+    assert o8[0].completion_token_ids[0] == o32[0].completion_token_ids[0]
+    eng8.runner.alloc.check_invariants()
