@@ -224,14 +224,17 @@ def store_prefill_topk(
         geom, layer, pt_l, slots[seq_idx], head, pos, valid
     ).reshape(Bp * K)
 
-    # Gather the selected new K/V rows (packed index = seq_starts[b] + token).
+    # Gather the selected new K/V rows (packed index = seq_starts[b] + token)
+    # — ONE gather over interleaved [T*H, 2D] rows (row latency dominates).
     src = (seq_starts[:, None] + tok_in_seq) * H + head  # [Bp, K]
     src = jnp.where(valid, src, 0).reshape(Bp * K)
-    k_sel = k_new.reshape(T * H, D)[src]
-    v_sel = v_new.reshape(T * H, D)[src]
+    kv_sel = (
+        jnp.concatenate(
+            [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
+        )[src]
+    ).astype(state.kv_pages.dtype)
 
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
-    kv_sel = jnp.concatenate([k_sel, v_sel], axis=-1).astype(state.kv_pages.dtype)
     kv_pages = state.kv_pages.at[rows].set(
         kv_sel, unique_indices=True, mode="drop"
     )
