@@ -94,11 +94,17 @@ class LLMEngine:
                 logger.warning("no tokenizer available; text APIs disabled")
         if self.tokenizer is not None and cfg.eos == -1:
             cfg.eos = self.tokenizer.eos_token_id
-        kv_dtype = {
+        kv_dtypes = {
             "auto": dtype,
             "fp8": jnp.float8_e4m3fn,
             "float8_e4m3": jnp.float8_e4m3fn,
-        }[cfg.kv_cache_dtype]
+        }
+        if cfg.kv_cache_dtype not in kv_dtypes:
+            raise ValueError(
+                f"kv_cache_dtype={cfg.kv_cache_dtype!r} not supported; "
+                f"accepted values: {sorted(kv_dtypes)}"
+            )
+        kv_dtype = kv_dtypes[cfg.kv_cache_dtype]
         self.runner = runner or ModelRunner(
             cfg, spec, params, cache_dtype=kv_dtype
         )

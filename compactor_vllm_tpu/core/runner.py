@@ -782,7 +782,10 @@ class ModelRunner:
         )
         # Device array kept for reclaim_after_compression — converted there
         # (rides the same result fetch as the tokens; no extra round-trip).
+        # seq_ids recorded per group so reclaim can detect a mismatched batch
+        # (different order/subset) and fall back to the slot-indexed readback.
         self._last_retained = retained
+        self._last_retained_ids = [tuple(s.seq_id for s in g) for g in groups]
         # Advance chunked-prefill progress (full-prompt dispatches land
         # exactly at the prompt end).
         for g in groups:
@@ -803,9 +806,20 @@ class ModelRunner:
             return
         alloc = self.allocs[group]
         r = getattr(self, "_last_retained", None)
-        if r is not None:
+        ids = getattr(self, "_last_retained_ids", None)
+        batch_matches = (
+            r is not None
+            and ids is not None
+            and group < len(ids)
+            and ids[group] == tuple(s.seq_id for s in seqs)
+        )
+        if batch_matches:
             lens = np.asarray(r[group] if self.mesh is not None else r)
-        else:  # direct callers that bypassed run_prefill
+        else:
+            # Direct callers that bypassed run_prefill, or a seqs list that
+            # does not match the last prefill batch (order/subset): the
+            # positional _last_retained rows would be wrong — read the
+            # slot-indexed bh_lens instead (order-robust).
             slots = np.array(
                 [alloc.slot_of_seq[s.seq_id] for s in seqs], np.int32
             )

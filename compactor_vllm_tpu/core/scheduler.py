@@ -8,12 +8,15 @@ pages mid-flight; compression later returns the surplus via shrink.
 
 from __future__ import annotations
 
+import logging
 from collections import deque
 from dataclasses import replace
 
 from compactor_vllm_tpu.config import LLMConfig
 from compactor_vllm_tpu.kv_cache.allocator import PageAllocator, SlotUpdate
 from compactor_vllm_tpu.utils.sequence import Sequence, SequenceStatus
+
+logger = logging.getLogger(__name__)
 
 
 class Scheduler:
@@ -34,10 +37,12 @@ class Scheduler:
 
     def add(self, seqs: list[Sequence]) -> None:
         for s in seqs:
-            assert s.num_prompt_tokens < self.cfg.max_model_len, (
-                f"prompt of {s.num_prompt_tokens} tokens leaves no room for "
-                f"generation under max_model_len={self.cfg.max_model_len}"
-            )
+            if s.num_prompt_tokens >= self.cfg.max_model_len:
+                raise ValueError(
+                    f"prompt of {s.num_prompt_tokens} tokens leaves no room "
+                    f"for generation under max_model_len="
+                    f"{self.cfg.max_model_len}"
+                )
             # Clamp generation so prompt + completions never exceeds
             # max_model_len: page reservations cover exactly that span, and
             # the fused decode loop's in-device `remaining` mask inherits the
@@ -45,6 +50,12 @@ class Scheduler:
             # reserved pages (decode store would overwrite live KV).
             cap = self.cfg.max_model_len - s.num_prompt_tokens
             if s.sampling_params.max_new_tokens > cap:
+                logger.warning(
+                    "seq %d: max_new_tokens %d clamped to %d "
+                    "(max_model_len %d - prompt %d)",
+                    s.seq_id, s.sampling_params.max_new_tokens, cap,
+                    self.cfg.max_model_len, s.num_prompt_tokens,
+                )
                 s.sampling_params = replace(s.sampling_params, max_new_tokens=cap)
             self.waiting.append(s)
         self.total += len(seqs)

@@ -82,7 +82,10 @@ def _upcast_tile(x, dtype):
         normal = pltpu.bitcast(sign | ((em + 960) << 20), jnp.float32)
         sub_mag = em.astype(jnp.float32) * (2.0 ** -9)
         sub = jnp.where(sign != 0, -sub_mag, sub_mag)
-        return jnp.where(em >= 8, normal, sub).astype(dtype)
+        out = jnp.where(em >= 8, normal, sub)
+        # e4m3fn em==0x7F encodes NaN — propagate it instead of silently
+        # mapping corrupted cache bytes to +/-480 finite logits.
+        return jnp.where(em == 0x7F, jnp.float32(jnp.nan), out).astype(dtype)
     return x.astype(dtype)
 
 
@@ -768,6 +771,11 @@ def paged_decode_attention(
     H = page_table.shape[1]
     G = HQ // H
     maxp = page_table.shape[2]
+    # Kernel trip counts derive from lens alone (npages = cdiv(len, page));
+    # clamp against the page-table width so a caller bookkeeping bug can
+    # never walk pt_ref / kv_buf out of bounds (host invariants are the
+    # primary guarantee; this makes kernel-level OOB impossible).
+    lens = jnp.minimum(lens, maxp * page_size)
     ng = -(-maxp // group_pages)
     if contig8 is None:
         contig8 = jnp.zeros((Bd, H, ng), jnp.int32)

@@ -65,5 +65,5 @@ def test_slot_capacity_gates_admission():
 
 def test_prompt_longer_than_model_len_rejected():
     sched, alloc, cfg = make(max_len=128)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         sched.add([seq(129)])
