@@ -42,6 +42,24 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({jax.default_backend()})")
 
+    # Parity preamble (VERDICT round-2 #8): every bench run re-proves
+    # Mosaic-vs-oracle parity on the real chip before reporting a number.
+    # Skippable for quick iteration with --skip-parity.
+    if "--skip-parity" not in sys.argv:
+        from benchmarks.smoke_tpu_parity import run_parity_smoke
+
+        log("parity preamble: PALLAS vs REFERENCE on-chip ...")
+        if not run_parity_smoke(log=log):
+            print(json.dumps({
+                "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",
+                "value": 0.0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+                "error": "on-chip parity preamble FAILED — not reporting",
+            }))
+            sys.exit(1)
+        log("parity preamble ok")
+
     # Qwen3-1.7B geometry (largest dense config that comfortably fits a 16GB
     # v5e chip alongside an 8GB KV pool).
     spec = ModelSpec(

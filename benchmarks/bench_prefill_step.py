@@ -155,26 +155,26 @@ def main():
     finally:
         COMPRESSION_REGISTRY["compactor"] = orig_m
 
-    # (b) store probe: real scoring + topk, but the compressed store is
-    # replaced by a full store plus a data dependency that keeps the
-    # selection alive -> isolates the store_topk gather/sort/searchsorted/DMA.
+    # (b) store probe: real scoring + threshold selection, but the fused
+    # compact store is replaced by a full store plus a data dependency that
+    # keeps the selection alive -> isolates the compact+store kernel cost.
     attn = runner.attn
-    orig_store = attn.store_topk
+    orig_store = attn.store_sel
 
-    def store_probe(geom, cache, layer, k, v, idx, valid_k, meta):
+    def store_probe(geom, cache, layer, k, v, sel, meta):
         cache = attn.store_full(geom, cache, layer, k, v, meta)
-        keep = jnp.minimum(idx.max() + valid_k.sum(), 0).astype(jnp.int32)
+        keep = jnp.minimum(sel.rank.max() + sel.counts.sum(), 0).astype(jnp.int32)
         return cache._replace(bh_lens=cache.bh_lens + keep)
 
-    object.__setattr__(attn, "store_topk", store_probe)
+    object.__setattr__(attn, "store_sel", store_probe)
     try:
         run_variant(
-            "score_topk_no_store",
+            "score_select_no_store",
             BatchCompressionParams(CompressionMethod.COMPACTOR),
             force_fused=True,
         )
     finally:
-        object.__setattr__(attn, "store_topk", orig_store)
+        object.__setattr__(attn, "store_sel", orig_store)
     base = results["none"]
     for k in ("compactor_unfused", "compactor_fused"):
         results[f"{k}_overhead_pct"] = 100.0 * (results[k] - base) / results[k]

@@ -36,7 +36,11 @@ from compactor_vllm_tpu.compression.compactor import (
     apply_protection,
     compactor_scores,
 )
-from compactor_vllm_tpu.compression.select import topk_retain_indices
+from compactor_vllm_tpu.compression.select import (
+    Selection,
+    threshold_select,
+    topk_retain_indices,
+)
 from compactor_vllm_tpu.compression.snapkv import snapkv_scores
 from compactor_vllm_tpu.config import CompressionMethod
 
@@ -46,6 +50,8 @@ __all__ = [
     "register_method",
     "get_method",
     "apply_protection",
+    "Selection",
+    "threshold_select",
     "topk_retain_indices",
     "compactor_scores",
     "snapkv_scores",

@@ -154,6 +154,11 @@ class LLMConfig:
 
     # Compression.
     leverage_sketch_size: int = 48
+    # Pad-to-page top-up: round each head's retained count up to a page
+    # multiple with its next-best-scored tokens — the last page is allocated
+    # either way, so the extra retained KV is (near-)free capacity
+    # (reference: kv_cache/store_kv_cache.py:178-248).
+    pad_retained_to_page: bool = True
 
     # Parallelism: tensor-parallel size over the ICI mesh `tp` axis.
     tensor_parallel_size: int = 1

@@ -43,7 +43,7 @@ from compactor_vllm_tpu.kv_cache.state import (
     init_kv_cache,
     kv_cache_hbm_bytes,
 )
-from compactor_vllm_tpu.layers.ops import sample_tokens
+from compactor_vllm_tpu.layers.ops import sample_tokens_sharded
 from compactor_vllm_tpu.models.transformer import (
     AttentionImpl,
     CompressionStatic,
@@ -51,8 +51,8 @@ from compactor_vllm_tpu.models.transformer import (
     ModelSpec,
     PrefillMeta,
     forward,
-    compute_logits,
-    prefill_logits,
+    compute_local_logits,
+    prefill_local_logits,
     reference_attention_impl,
 )
 from compactor_vllm_tpu.parallel import (
@@ -328,7 +328,11 @@ class ModelRunner:
             topk_static=_pow2_bucket(self.cfg.max_model_len * H, 16),
             aligned=True,
             fused_postrope=self.attn.prefill_scored is not None,
-            max_seq_static=_pow2_bucket(self.cfg.max_model_len, 512),
+            pad_to_page=(
+                self.cfg.kvcache_page_size
+                if self.cfg.pad_retained_to_page else 0
+            ),
+            use_head_cap=True,  # worst-case shapes: refinement pass on
         )
         sds = jax.ShapeDtypeStruct
         i32, f32, b1 = jnp.int32, jnp.float32, jnp.bool_
@@ -401,11 +405,6 @@ class ModelRunner:
         max_retain = max(
             s.effective_retain_budget(self.lspec.num_kv_heads) for s in seqs
         )
-        # Bucketed bound on individual sequence length: the top-k gather
-        # width scales with this, not with the whole packed batch.
-        max_seq = _pow2_bucket(
-            max(s.num_prompt_tokens for s in seqs), 512
-        )
         # Fused in-kernel postrope scoring requires chunk-aligned packing
         # whose alignment also covers the (scoring-sized) query tile.
         group = self.lspec.num_q_heads // self.lspec.num_kv_heads
@@ -415,6 +414,8 @@ class ModelRunner:
             and self.attn.prefill_scored is not None
             and self._start_align(bp) % _row_tile(group, True) == 0
         )
+        H = self.lspec.num_kv_heads
+        use_cap = any(s.head_retention_cap(H) > 0 for s in seqs)
         return CompressionStatic(
             method=bp.compression_method,
             chunked=bp.do_chunked_compression,
@@ -422,13 +423,20 @@ class ModelRunner:
             topk_static=_pow2_bucket(max_retain, 16),
             aligned=True,  # run_prefill aligns starts to _start_align(bp)
             fused_postrope=fused,
-            max_seq_static=max_seq,
+            pad_to_page=(
+                self.cfg.kvcache_page_size
+                if self.cfg.pad_retained_to_page else 0
+            ),
+            use_head_cap=use_cap,
         )
 
     @staticmethod
     def _start_align(bp: BatchCompressionParams) -> int:
         """Packed-start alignment: 8 tokens for kernel DMA tiling, raised to
-        the scoring-chunk LCM so chunked compression can use reshape views.
+        the scoring-chunk LCM so chunked compression can use reshape views,
+        and to COMPACT_TILE for any compressing method (the fused compact
+        store's rank tiles are absolute-row tiles — pallas_attention.py
+        paged_compact_store contract).
 
         Method names are canonicalized so registered string names behave
         identically to enum members (the CompressionStatic built by
@@ -436,15 +444,20 @@ class ModelRunner:
         import math
 
         from compactor_vllm_tpu.compression.compactor import POSTROPE_CHUNK
+        from compactor_vllm_tpu.ops.pallas_attention import COMPACT_TILE
 
-        if is_none_method(bp.compression_method) or not bp.do_chunked_compression:
+        if is_none_method(bp.compression_method):
             return 8
+        if not bp.do_chunked_compression:
+            return COMPACT_TILE
         if method_name(bp.compression_method) == CompressionMethod.COMPACTOR.value:
             a, b = bp.chunk_size, POSTROPE_CHUNK
-            return a * b // math.gcd(a, b)
-        # Custom chunked methods: align starts to their chunk size so the
-        # aligned reshape views in chunking.py stay scatter-free.
-        return max(8, bp.chunk_size)
+            lcm = a * b // math.gcd(a, b)
+        else:
+            # Custom chunked methods: align starts to their chunk size so
+            # the aligned reshape views in chunking.py stay scatter-free.
+            lcm = max(8, bp.chunk_size)
+        return lcm * COMPACT_TILE // math.gcd(lcm, COMPACT_TILE)
 
     @staticmethod
     def _dp_meta_specs(meta_type):
@@ -482,15 +495,21 @@ class ModelRunner:
             cache, out = inner(
                 params, cache, self._dp_local_meta(meta), temps[0], rng
             )
+            # Outputs are REPLICATED via tiny in-program all-gathers (tokens
+            # are [b] i32, retained [L, b, H] i32): under multi-process
+            # execution a host cannot np.asarray another process's dp shard,
+            # and every host's deterministic scheduler needs all results.
             if prefill:
                 tokens, retained = out
-                return cache, (tokens[None], retained[None])
-            return cache, out[None]
+                tokens = jax.lax.all_gather(tokens, AXIS_DP, axis=0)
+                retained = jax.lax.all_gather(
+                    retained, AXIS_TP, axis=2, tiled=True
+                )
+                retained = jax.lax.all_gather(retained, AXIS_DP, axis=0)
+                return cache, (tokens, retained)
+            return cache, jax.lax.all_gather(out, AXIS_DP, axis=0)
 
-        out_spec = (
-            (P(AXIS_DP), P(AXIS_DP, None, None, AXIS_TP)) if prefill
-            else P(AXIS_DP)
-        )
+        out_spec = (P(), P()) if prefill else P()
         return jax.shard_map(
             wrapped,
             mesh=self.mesh,
@@ -511,11 +530,10 @@ class ModelRunner:
                     comp=comp, attn=self.attn, is_prefill=True, max_q=t_pad,
                     tp_axis=tp_axis,
                 )
-                logits = prefill_logits(
+                logits = prefill_local_logits(
                     params, self.lspec, hidden, meta.seq_starts, meta.seq_lens,
-                    tp_axis,
                 )
-                tokens = sample_tokens(logits, temps, rng)
+                tokens = sample_tokens_sharded(logits, temps, rng, tp_axis)
                 # Retained per-head lengths ride along with the tokens so the
                 # host reclaim needs no second device round-trip.
                 retained = cache.bh_lens[:, meta.slots]  # [L, b_pad, H]
@@ -538,8 +556,8 @@ class ModelRunner:
                     attn=self.attn, is_prefill=False, tp_axis=tp_axis,
                     max_pages=max_pages,
                 )
-                logits = compute_logits(params, self.lspec, hidden, tp_axis)
-                tokens = sample_tokens(logits, temps, rng)
+                logits = compute_local_logits(params, self.lspec, hidden)
+                tokens = sample_tokens_sharded(logits, temps, rng, tp_axis)
                 return cache, tokens
 
             if self.mesh is not None:
@@ -580,9 +598,9 @@ class ModelRunner:
                         attn=self.attn, is_prefill=False, tp_axis=tp_axis,
                         max_pages=max_pages, pt_sel=pt_sel, lens_sel=lens_sel,
                     )
-                    logits = compute_logits(params, self.lspec, hidden, tp_axis)
-                    tokens = sample_tokens(
-                        logits, temps, jax.random.fold_in(rng, i)
+                    logits = compute_local_logits(params, self.lspec, hidden)
+                    tokens = sample_tokens_sharded(
+                        logits, temps, jax.random.fold_in(rng, i), tp_axis
                     )
                     appended = appended + alive.astype(jnp.int32)
                     tokens = jnp.where(alive, tokens, -1)
@@ -623,7 +641,12 @@ class ModelRunner:
                         params, cache, self._dp_local_meta(meta),
                         temps[0], remaining[0], eos, rng,
                     )
-                    return cache, toks[:, None]
+                    # Replicated output (see _shard_step): hosts in a
+                    # multi-process run need every group's tokens.
+                    toks = jax.lax.all_gather(
+                        toks[:, None], AXIS_DP, axis=1, tiled=True
+                    )
+                    return cache, toks
 
                 loop = jax.shard_map(
                     loop,
@@ -631,7 +654,7 @@ class ModelRunner:
                     in_specs=(param_pspecs(self.spec), cache_pspecs(),
                               self._dp_meta_specs(DecodeMeta),
                               P(AXIS_DP), P(AXIS_DP), P(), P()),
-                    out_specs=(cache_pspecs(), P(None, AXIS_DP)),
+                    out_specs=(cache_pspecs(), P()),
                     check_vma=False,
                 )
             self._fn_cache[key] = jax.jit(loop, donate_argnums=(1,))

@@ -41,7 +41,7 @@ TASK_CONFIG = {
 }
 
 
-def main():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--dataset", default="THUDM/LongBench")
@@ -55,10 +55,13 @@ def main():
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--max-num-seqs", type=int, default=16)
     ap.add_argument("--output", default="longbench_results")
-    args = ap.parse_args()
+    return ap.parse_args(argv)
 
-    from datasets import load_dataset
 
+def run(args, engine=None, load_dataset=None):
+    """Evaluation loop; `engine`/`load_dataset` injectable so the offline
+    end-to-end test (tests/test_eval_cli_e2e.py) drives the REAL loop with a
+    tiny model and a synthetic dataset."""
     from compactor_vllm_tpu import (
         BatchCompressionParams,
         CompressionMethod,
@@ -71,13 +74,16 @@ def main():
     from compactor_vllm_tpu.evaluate.longbench_metrics import score_prediction
 
     method = CompressionMethod(args.method)
-    cfg = LLMConfig(
-        model=args.model,
-        max_model_len=args.max_length,
-        max_num_seqs=args.max_num_seqs,
-        tensor_parallel_size=args.tp,
-    )
-    engine = LLM(cfg)
+    if engine is None:
+        cfg = LLMConfig(
+            model=args.model,
+            max_model_len=args.max_length,
+            max_num_seqs=args.max_num_seqs,
+            tensor_parallel_size=args.tp,
+        )
+        engine = LLM(cfg)
+    if load_dataset is None:
+        from datasets import load_dataset
     tok = engine.tokenizer
     bp = BatchCompressionParams(compression_method=method, chunk_size=args.chunk_size)
 
@@ -125,6 +131,11 @@ def main():
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
+    return summary
+
+
+def main(argv=None, engine=None, load_dataset=None):
+    return run(parse_args(argv), engine=engine, load_dataset=load_dataset)
 
 
 if __name__ == "__main__":

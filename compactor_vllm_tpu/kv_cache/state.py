@@ -165,81 +165,39 @@ def store_prefill_full(
     return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
-def store_prefill_topk(
+def store_prefill_sel(
     geom: KVCacheGeometry,
     state: KVCacheState,
     layer,
-    k_new: jax.Array,  # [T, H, D]
+    k_new: jax.Array,  # [T, H, D] packed varlen (padded)
     v_new: jax.Array,
-    topk_idx: jax.Array,  # [Bp, K] flat (token_in_seq * H + head) per sequence
-    topk_valid: jax.Array,  # [Bp, K] bool (k < retain_budget[b])
-    seq_starts: jax.Array,  # [Bp] packed row offset per sequence
+    sel_rank: jax.Array,  # [T, H] in-head token-order rank; -1 unselected
+    counts: jax.Array,  # [Bp, H] retained per (sequence, head)
+    token_seq_idx: jax.Array,  # [T] sequence index within batch
     slots: jax.Array,  # [Bp]
-    cached_lens: jax.Array,  # [Bp, H]
+    cached_lens: jax.Array,  # [Bp, H] snapshot lens before this prefill
     seq_valid: jax.Array,  # [Bp]
-    head_cap: jax.Array | None = None,  # [Bp] per-head retention cap (0=off)
 ) -> KVCacheState:
-    """Compressed prefill store: scatter only the selected (token, head) pairs.
-
-    Deterministic replacement for the reference's atomic slot claiming
-    (store_kv_cache.py:10-77): entries are stable-sorted by head per sequence,
-    so each selected pair's position within its head's stream is its rank.
-    Within-head order is by selection rank — a permutation of the reference's
-    scrambled order; attention is permutation-invariant over cached keys.
-    """
+    """Compressed prefill store from a threshold Selection (select.py):
+    scatter exactly the selected (token, head) pairs at their in-head
+    token-order ranks (reference: kv_cache/store_kv_cache.py:81-175 — same
+    multiset of retained tokens; within-head order is a permutation, and
+    attention is permutation-invariant over cached keys)."""
     T, H, D = k_new.shape
-    Bp, K = topk_idx.shape
     pt_l = jax.lax.dynamic_index_in_dim(state.page_table, layer, 0, keepdims=False)
-
-    head = (topk_idx % H).astype(jnp.int32)  # [Bp, K]
-    tok_in_seq = (topk_idx // H).astype(jnp.int32)
-    # Invalid entries get head id H so they sort to the end of each row.
-    head_key = jnp.where(topk_valid, head, H)
-    order = jnp.argsort(head_key, axis=1, stable=True)  # [Bp, K]
-    head_sorted = jnp.take_along_axis(head_key, order, axis=1)
-    counts = jax.vmap(lambda h: jnp.bincount(h, length=H + 1))(head_sorted)  # [Bp,H+1]
-    starts = jnp.concatenate(
-        [jnp.zeros((Bp, 1), counts.dtype), jnp.cumsum(counts, axis=1)[:, :-1]], axis=1
-    )
-    rank_sorted = jnp.arange(K, dtype=jnp.int32)[None, :] - jnp.take_along_axis(
-        starts, head_sorted, axis=1
-    ).astype(jnp.int32)
-    # Scatter ranks back to original top-k order.
-    rank = jnp.zeros_like(rank_sorted).at[
-        jnp.arange(Bp)[:, None], order
-    ].set(rank_sorted)
-
-    seq_idx = jnp.arange(Bp, dtype=jnp.int32)[:, None]
-    valid = topk_valid & seq_valid[:, None]
-    retained = counts[:, :H].astype(jnp.int32)  # [Bp, H]
-    if head_cap is not None:
-        # Opt-in per-head cap: selection ranks past the cap are dropped
-        # (ranks follow selection order, so protected +inf entries — the
-        # earliest ranks — always survive).
-        cap_eff = jnp.where(head_cap > 0, head_cap, K + 1)[:, None]
-        valid = valid & (rank < cap_eff)
-        retained = jnp.minimum(retained, cap_eff)
-    pos = cached_lens[seq_idx, head] + rank  # [Bp, K]
+    tok_slot = slots[token_seq_idx]  # [T]
+    heads = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (T, H))
+    valid = (sel_rank >= 0) & seq_valid[token_seq_idx][:, None]
+    pos = cached_lens[token_seq_idx] + jnp.maximum(sel_rank, 0)  # [T, H]
     rows = _cache_rows(
-        geom, layer, pt_l, slots[seq_idx], head, pos, valid
-    ).reshape(Bp * K)
-
-    # Gather the selected new K/V rows (packed index = seq_starts[b] + token)
-    # — ONE gather over interleaved [T*H, 2D] rows (row latency dominates).
-    src = (seq_starts[:, None] + tok_in_seq) * H + head  # [Bp, K]
-    src = jnp.where(valid, src, 0).reshape(Bp * K)
-    kv_sel = (
-        jnp.concatenate(
-            [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
-        )[src]
+        geom, layer, pt_l, tok_slot[:, None], heads, pos, valid
+    ).reshape(T * H)
+    kv = jnp.concatenate(
+        [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
     ).astype(state.kv_pages.dtype)
-
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
-    kv_pages = state.kv_pages.at[rows].set(
-        kv_sel, unique_indices=True, mode="drop"
-    )
-
-    new_lens = cached_lens + retained
+    kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
+    new_lens = cached_lens + jnp.where(seq_valid[:, None], counts, 0)
     bh_lens = _update_lens(state.bh_lens, layer, slots, new_lens, seq_valid)
     return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 

