@@ -77,6 +77,14 @@ class ScoringMethod:
 
     score: Callable[..., jax.Array]
     wants_postrope_colmass: bool = False
+    # True when score() is CHUNK-LOCAL: the scores of a prompt span depend
+    # only on that span's q/k (Compactor: pre-RoPE leverage is 512-chunk
+    # local and post-RoPE colmass 128-chunk local by construction). Such
+    # methods compose with chunked prefill — each chunk is scored, selected
+    # under its own pro-rated budget, and stored compactly before the next
+    # chunk runs. Query-aware methods (SnapKV needs the prompt-tail window)
+    # are not chunk-local and require whole-prompt prefill.
+    chunk_local: bool = False
 
 
 def _compactor_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
@@ -103,7 +111,7 @@ def _snapkv_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
 
 COMPRESSION_REGISTRY: dict[str, ScoringMethod] = {
     CompressionMethod.COMPACTOR.value: ScoringMethod(
-        score=_compactor_score, wants_postrope_colmass=True
+        score=_compactor_score, wants_postrope_colmass=True, chunk_local=True
     ),
     CompressionMethod.SNAPKV.value: ScoringMethod(score=_snapkv_score),
 }

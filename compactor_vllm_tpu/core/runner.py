@@ -722,12 +722,21 @@ class ModelRunner:
         pl = np.zeros(b_pad, np.int32)
         hcap = np.zeros(b_pad, np.int32)
         temps = np.zeros(b_pad, np.float32)
+        H = self.lspec.num_kv_heads
         for i, s in enumerate(seqs):
             slots[i] = self.allocs[group].slot_of_seq[s.seq_id]
-            retain[i] = s.effective_retain_budget(self.lspec.num_kv_heads)
-            pf[i] = s.compression_params.protected_first_tokens
-            pl[i] = s.compression_params.protected_last_tokens
-            hcap[i] = s.head_retention_cap(self.lspec.num_kv_heads)
+            cs, cl = cached[i], lens[i]
+            if cs > 0 or cl < s.num_prompt_tokens:
+                # Chunked compressed prefill: pro-rated per-chunk budget and
+                # chunk-relative protected spans (head caps are rejected up
+                # front in generate()).
+                retain[i] = s.chunk_retain_budget(H, cs, cl)
+                pf[i], pl[i] = s.chunk_protected(cs, cl)
+            else:
+                retain[i] = s.effective_retain_budget(H)
+                pf[i] = s.compression_params.protected_first_tokens
+                pl[i] = s.compression_params.protected_last_tokens
+            hcap[i] = s.head_retention_cap(H)
             temps[i] = s.sampling_params.temperature
         a["slots"], a["retain"] = slots, retain
         a["protected_first"], a["protected_last"] = pf, pl
@@ -849,9 +858,14 @@ class ModelRunner:
             gslots = slots + group * self.geom.num_slots
             lens = np.asarray(self.cache.bh_lens[:, gslots])
         for i, s in enumerate(seqs):
-            headroom = s.sampling_params.max_new_tokens
+            # Mid-prompt chunks keep headroom for the REST of the prompt on
+            # top of generation (progressive reclaim: pages already saved by
+            # earlier chunks' compression are returned immediately).
+            remaining_prompt = s.num_prompt_tokens - s.num_prefilled_tokens
+            headroom = s.sampling_params.max_new_tokens + remaining_prompt
             alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
-            s.max_head_len = int(lens[:, i, :].max())
+            if remaining_prompt == 0:
+                s.max_head_len = int(lens[:, i, :].max())
 
     def _decode_group_arrays(self, seqs, group, b_pad):
         alloc = self.allocs[group]
@@ -973,18 +987,40 @@ class ModelRunner:
         are partitioned round-robin over groups and every dispatch runs the
         groups' batches in lockstep in one compiled program."""
         dp = self.dp
-        chunking = self.cfg.enable_chunked_prefill and is_none_method(
-            bp.compression_method
-        )
+        compressing_m = not is_none_method(bp.compression_method)
+        # Chunked prefill composes with compression when the method is
+        # CHUNK-LOCAL (Compactor): each chunk is scored, selected under its
+        # pro-rated budget, and stored compactly (pad-to-page keeps the
+        # per-head cached boundaries page-aligned for the next chunk).
+        # Query-aware methods (SnapKV) need the whole prompt in one batch.
+        chunk_ok = True
+        if compressing_m:
+            from compactor_vllm_tpu.compression import get_method
+
+            chunk_ok = (
+                get_method(bp.compression_method).chunk_local
+                and self.cfg.pad_retained_to_page
+            )
+        chunking = self.cfg.enable_chunked_prefill and chunk_ok
+        if chunking and compressing_m:
+            for s in seqs:
+                if s.head_retention_cap(self.lspec.num_kv_heads):
+                    raise ValueError(
+                        "max_head_retention_factor is incompatible with "
+                        "chunked compressed prefill (the cap is defined over "
+                        "the whole prompt; disable enable_chunked_prefill "
+                        "or the cap)"
+                    )
         if not chunking:
             for s in seqs:
                 if s.num_prompt_tokens > self.cfg.max_num_batched_tokens:
                     raise ValueError(
                         f"prompt of {s.num_prompt_tokens} tokens exceeds "
                         f"max_num_batched_tokens="
-                        f"{self.cfg.max_num_batched_tokens}; KV compression "
-                        "requires whole-prompt prefill (enable chunked "
-                        "prefill only for uncompressed runs)"
+                        f"{self.cfg.max_num_batched_tokens}; this "
+                        "compression method requires whole-prompt prefill "
+                        "(chunked prefill composes only with chunk-local "
+                        "methods like Compactor, with pad_retained_to_page)"
                     )
         for gi in range(dp):
             self.scheds[gi].allow_chunking = chunking

@@ -14,12 +14,13 @@ concatenation of local pools along the rows axis (sharded over the mesh's
 `tp`/`dp` axes by compactor_vllm_tpu.parallel). Ops therefore run unchanged
 under `shard_map` — no shard arithmetic inside kernels.
 
-Writes are expressed as `jnp` row scatters into the page-flattened cache.
+Writes are expressed as `jnp` row scatters into the page-flattened cache
+(the Pallas backend replaces them with page-granular DMA kernels).
 The reference claims cache slots with `tl.atomic_add` producing a scrambled
 order within each head (store_kv_cache.py:10-77); TPUs have no cheap global
-atomics, so the compressed store instead computes deterministic per-head
-offsets with a stable sort + segment ranks — same multiset-of-tokens
-semantics, fully SPMD-reproducible.
+atomics, so the compressed store places each selected (token, head) pair at
+its deterministic in-head TOKEN-ORDER rank (compression/select.py) — same
+multiset-of-tokens semantics, fully SPMD-reproducible.
 """
 
 from __future__ import annotations

@@ -247,15 +247,18 @@ def prefill_cached_lens(meta: PrefillMeta, num_kv_heads: int) -> jax.Array:
 
 
 def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: int):
-    def prefill(geom, cache, layer, q, k, v, meta: PrefillMeta, sm_scale, max_q):
+    def prefill(geom, cache, layer, q, k, v, meta: PrefillMeta, sm_scale, max_q,
+                clens=None):
+        if clens is None and max_cache_len_prefill > 0:
+            # Pre-store snapshot: chunked-prefill continuations must not see
+            # this chunk's freshly stored rows in the cached phase. The
+            # compressed path passes per-head (ragged) lens explicitly.
+            clens = prefill_cached_lens(meta, geom.num_kv_heads)
         return ref_prefill_attention(
             geom, cache, layer, q, k, v, meta.seq_starts, meta.seq_lens,
             meta.slots, max_q=max_q, max_cache_len=max_cache_len_prefill,
             sm_scale=sm_scale,
-            # Pre-store snapshot: chunked-prefill continuations must not see
-            # this chunk's freshly stored rows in the cached phase.
-            cached_lens=prefill_cached_lens(meta, geom.num_kv_heads)
-            if max_cache_len_prefill > 0 else None,
+            cached_lens=clens if max_cache_len_prefill > 0 else None,
         )
 
     def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale,
@@ -369,14 +372,22 @@ def _attention_block(
             from compactor_vllm_tpu.compression import get_method
 
             method = get_method(comp.method)
+            # Per-head cached lengths: zero for fresh prefills, the RAGGED
+            # per-(head) retained counts of earlier compressed chunks for
+            # chunked-prefill continuations (read pre-store — attention runs
+            # before the compressed store in this branch).
+            cached_ph = jax.lax.dynamic_index_in_dim(
+                cache.bh_lens, layer, 0, keepdims=False
+            )[m.slots]  # [Bp, H]
             colmass = None
             if comp.fused_postrope and attn.prefill_scored is not None:
                 o, colmass = attn.prefill_scored(
-                    geom, cache, layer, q, k, v, m, spec.sm_scale, max_q
+                    geom, cache, layer, q, k, v, m, spec.sm_scale, max_q,
+                    clens=cached_ph,
                 )
             else:
                 o = attn.prefill(geom, cache, layer, q, k, v, m,
-                                 spec.sm_scale, max_q)
+                                 spec.sm_scale, max_q, clens=cached_ph)
             b_pad = m.slots.shape[0]
             # Only methods that opted in receive the fused colmass — custom
             # registered methods keep the documented 5-arg signature.
@@ -393,11 +404,13 @@ def _attention_block(
                 pad_to_page=comp.pad_to_page,
             )
             if attn.store_sel is not None:
-                cache = attn.store_sel(geom, cache, layer, k, v, sel, m)
+                cache = attn.store_sel(
+                    geom, cache, layer, k, v, sel, m, cached_ph
+                )
             else:
                 cache = store_prefill_sel(
                     geom, cache, layer, k, v, sel.rank, sel.counts,
-                    m.token_seq_idx, m.slots, cached_lens, m.seq_valid,
+                    m.token_seq_idx, m.slots, cached_ph, m.seq_valid,
                 )
         kv_out = None
     else:

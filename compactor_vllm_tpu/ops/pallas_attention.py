@@ -1119,9 +1119,13 @@ def _compact_store_kernel(
     def _flush_copies(slot, bi):
         pcol = p0 + bi * GP
         # A FLUSH_PAGES run is consecutive when it lies inside a consecutive
-        # STORE_GROUP (8-page) allocator run (contig flags are 8-granular;
-        # pcol is GP-aligned, so the GP-page run never straddles two groups).
-        is_run = contig_ref[b, h, pcol // STORE_GROUP] != 0
+        # STORE_GROUP (8-page) allocator run (contig flags are 8-granular).
+        # Requires p0 GP-aligned so the GP-page run never straddles two
+        # groups — compressed chunked-prefill continuations can start at any
+        # page column, which falls back to per-page DMAs.
+        is_run = (contig_ref[b, h, pcol // STORE_GROUP] != 0) & (
+            jax.lax.rem(p0, GP) == 0
+        )
 
         def one(j):
             dst = pl.multiple_of(
@@ -1211,7 +1215,18 @@ def _compact_store_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (RING, TILE), 0)
                 == ring_pos
             )
-            src = kv_buf[slot]  # [TILE, 2D] model dtype
+            # Zero rows past the sequence end BEFORE the dot: pad rows can
+            # legitimately hold NaN (attention output of tokens attending
+            # nothing feeds the next layer's K/V at pad rows), and a NaN
+            # source row contaminates EVERY output row through the matmul
+            # (0 * NaN = NaN). In-seq unselected rows are finite, so their
+            # zero one-hot columns are safe unmasked.
+            tpos_col = tt * TILE + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE, 1), 0
+            )
+            src = jnp.where(
+                tpos_col < length, kv_buf[slot], 0
+            )  # [TILE, 2D] model dtype
             res = jax.lax.dot(
                 oh.astype(src.dtype), src, preferred_element_type=jnp.float32
             )  # [RING, 2D]
@@ -1356,15 +1371,17 @@ def pallas_attention_impl(interpret: bool = False):
     from compactor_vllm_tpu.models.transformer import AttentionImpl
 
     def _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
-                 score_chunks=False):
+                 score_chunks=False, clens=None):
         from compactor_vllm_tpu.models.transformer import prefill_cached_lens
 
         pt_l = jax.lax.dynamic_index_in_dim(cache.page_table, layer, 0, keepdims=False)
         pt = pt_l[meta.slots]  # [Bp, H, maxp]
         # Pre-store snapshot: zero for fresh prefills; the previous chunks'
-        # page-aligned length for chunked-prefill continuations (phase 1 of
-        # the kernel walks exactly those pages).
-        clens = prefill_cached_lens(meta, geom.num_kv_heads)
+        # cached length for chunked-prefill continuations (phase 1 of the
+        # kernel walks exactly those pages). The compressed path passes the
+        # per-head RAGGED retained lens explicitly.
+        if clens is None:
+            clens = prefill_cached_lens(meta, geom.num_kv_heads)
         return paged_prefill_attention(
             q, k, v, cache.kv_pages, pt, clens,
             meta.seq_starts, meta.seq_lens,
@@ -1373,12 +1390,14 @@ def pallas_attention_impl(interpret: bool = False):
             score_chunks=score_chunks, interpret=interpret,
         )
 
-    def prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
-        return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q)
-
-    def prefill_scored(geom, cache, layer, q, k, v, meta, sm_scale, max_q):
+    def prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q, clens=None):
         return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
-                        score_chunks=True)
+                        clens=clens)
+
+    def prefill_scored(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
+                       clens=None):
+        return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
+                        score_chunks=True, clens=clens)
 
     def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l, lens_l):
         return paged_decode_attention(
@@ -1429,24 +1448,29 @@ def pallas_attention_impl(interpret: bool = False):
         return _finish_store(geom, cache, layer, kvp, meta.slots,
                              cached + counts, meta.seq_valid)
 
-    def store_sel(geom, cache, layer, k, v, sel, meta):
+    def store_sel(geom, cache, layer, k, v, sel, meta, cached_ph=None):
         """Compressed store from a threshold Selection (compression/select):
         ONE fused Pallas pass streams each head's new K/V, compacts the
         selected rows on the MXU, and DMAs completed page groups straight
         into the cache (no top-k, no sort, no gather, no packed
-        intermediate)."""
+        intermediate). `cached_ph` [Bp, H] holds earlier compressed chunks'
+        retained lens (page multiples by pad-to-page for non-final chunks);
+        the store appends at those page boundaries."""
         pt = jax.lax.dynamic_index_in_dim(
             cache.page_table, layer, 0, keepdims=False
         )[meta.slots]
         counts = sel.counts * meta.seq_valid[:, None]
+        if cached_ph is None:
+            cached_ph = jnp.zeros_like(counts)
         kvp = paged_compact_store(
             k, v, sel.rank, counts, cache.kv_pages,
             meta.seq_starts, meta.seq_lens, pt,
             layer * geom.rows_per_layer, page_size=geom.page_size,
+            dst_page0=cached_ph // geom.page_size,
             store_contig=meta.store_contig, interpret=interpret,
         )
-        return _finish_store(geom, cache, layer, kvp, meta.slots, counts,
-                             meta.seq_valid)
+        return _finish_store(geom, cache, layer, kvp, meta.slots,
+                             cached_ph + counts, meta.seq_valid)
 
     return AttentionImpl(
         prefill=prefill, decode=decode, store_full=store_full,

@@ -80,6 +80,39 @@ class Sequence:
         span = self.num_prompt_tokens - p.protected_first_tokens - p.protected_last_tokens
         return max(int(round(p.compression_ratio * span * num_kv_heads)), 1)
 
+    def chunk_protected(self, chunk_start: int, chunk_len: int) -> tuple[int, int]:
+        """Chunk-relative (protected_first, protected_last) overlap of the
+        sequence's protected head/tail spans with tokens
+        [chunk_start, chunk_start + chunk_len) of the prompt."""
+        p = self.compression_params
+        L = self.num_prompt_tokens
+        pf = max(0, min(p.protected_first_tokens - chunk_start, chunk_len))
+        pl = max(
+            0,
+            min(chunk_start + chunk_len - (L - p.protected_last_tokens),
+                chunk_len),
+        )
+        return pf, pl
+
+    def chunk_retain_budget(
+        self, num_kv_heads: int, chunk_start: int, chunk_len: int
+    ) -> int:
+        """Per-chunk (token, head) retention budget for chunked compressed
+        prefill: protected pairs in the chunk always fit, plus ratio of the
+        unprotected span. Summed over chunks this retains slightly MORE than
+        the single-shot budget (protected pairs ride on top instead of
+        inside), and per-chunk selection distributes the budget uniformly
+        over chunks instead of globally — both documented deviations that
+        trade a little extra retention for streaming prefill."""
+        p = self.compression_params
+        pf, pl = self.chunk_protected(chunk_start, chunk_len)
+        span = max(chunk_len - pf - pl, 0)
+        return max(
+            int(round(p.compression_ratio * span * num_kv_heads))
+            + (pf + pl) * num_kv_heads,
+            1,
+        )
+
     def head_retention_cap(self, num_kv_heads: int = 0) -> int:
         """Per-head retained-token cap (0 = uncapped): factor x the per-head
         budget average (ratio x unprotected span), plus the protected spans
