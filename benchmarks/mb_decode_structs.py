@@ -90,6 +90,84 @@ def k_ctxmajor(q_ref, k_ref, v_ref, o_ref):
     o_ref[0] = (acc / l.T).astype(o_ref.dtype)
 
 
+def k_dma_only(q_ref, k_ref, v_ref, o_ref):
+    """No attention math: touch one sublane chunk of K/V so the block
+    pipeline still streams the full blocks. Measures the pipeline's pure
+    data-movement floor at this grid/block shape."""
+    o_ref[0] = (
+        k_ref[0, 0:8, :].sum(axis=0, keepdims=True)
+        + v_ref[0, 0:8, :].sum(axis=0, keepdims=True)
+    ).astype(o_ref.dtype) + q_ref[0][:1] * 0
+
+
+def k_qk_only(q_ref, k_ref, v_ref, o_ref):
+    """QK dot + max only (no softmax / PV): isolates the first dot."""
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = jnp.broadcast_to(
+        jnp.max(s, axis=-1, keepdims=True), o_ref.shape[1:]
+    ).astype(o_ref.dtype) + v_ref[0, 0:1, :].astype(o_ref.dtype) * 0
+
+
+def k_pv_only(q_ref, k_ref, v_ref, o_ref):
+    """PV dot only with a constant p: isolates the second dot."""
+    g = q_ref.shape[1]
+    ctx = v_ref.shape[1]
+    p = jnp.full((g, ctx), 1.0 / ctx, jnp.bfloat16) + q_ref[0, :, 0:1] * 0
+    acc = jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (acc + k_ref[0, 0:1, :].astype(jnp.float32) * 0).astype(
+        o_ref.dtype
+    )
+
+
+def k_qmajor_multi(q_ref, k_ref, v_ref, o_ref):
+    """P (b,h) pairs per grid step: same math as qmajor/full per pair, but
+    one pipeline step streams P pairs' K/V. If the floor is per-grid-step
+    overhead (bubbles, copy waits), this divides it by P."""
+    P = q_ref.shape[0]
+    for p_i in range(P):
+        q = q_ref[p_i]
+        s = jax.lax.dot_general(
+            q, k_ref[p_i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * LOG2E
+        p, l = _softmax_rows(s)
+        v = v_ref[p_i]
+        acc = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[p_i] = (acc / l).astype(o_ref.dtype)
+
+
+def k_qmajor_stackP(q_ref, k_ref, v_ref, o_ref):
+    """P pairs per grid step with the P QK dots fused into ONE dot by
+    reshaping K [P, CTX, D] -> [P*CTX, D]: s_all = q_all? No — each pair has
+    its own q, so fuse along N instead: compute s for pair p against the
+    FULL [P*CTX] key axis and mask to its own range. P x compute waste on
+    QK, but a single [P*G, P*CTX] dot whose passes pipeline."""
+    P, ctx, _ = k_ref.shape
+    qs = q_ref[...].reshape(P * q_ref.shape[1], D)  # [P*G, D]
+    ks = k_ref[...].reshape(P * ctx, D)
+    s = jax.lax.dot_general(
+        qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * LOG2E  # [P*G, P*ctx]
+    g = q_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // g
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // ctx
+    s = jnp.where(rows == cols, s, NEG_INF)
+    p, l = _softmax_rows(s)
+    vs = v_ref[...].reshape(P * ctx, D)
+    acc = jax.lax.dot(
+        p.astype(vs.dtype), vs, preferred_element_type=jnp.float32
+    )  # [P*G, D]
+    o_ref[...] = (acc / l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
 def k_qmajor_int8(q_ref, k_ref, v_ref, o_ref):
     """int8 K (per-token scales ignored for timing), q int8, int32 accum."""
     q = q_ref[0]  # [G, D] int8
@@ -128,7 +206,7 @@ def k_ctxmajor_int8(q_ref, k_ref, v_ref, o_ref):
     )
 
 
-def run_variant(name, kernel, nprog, ctx, g, kv_dtype, q_dtype=None):
+def run_variant(name, kernel, nprog, ctx, g, kv_dtype, q_dtype=None, P=1):
     q_dtype = q_dtype or kv_dtype
     out_dtype = jnp.bfloat16
 
@@ -147,13 +225,13 @@ def run_variant(name, kernel, nprog, ctx, g, kv_dtype, q_dtype=None):
 
     fn = pl.pallas_call(
         kernel,
-        grid=(nprog,),
+        grid=(nprog // P,),
         in_specs=[
-            pl.BlockSpec((1, g, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ctx, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ctx, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((P, g, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((P, ctx, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((P, ctx, D), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, g, D), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((P, g, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nprog, g, D), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -199,18 +277,42 @@ def main():
     import sys
 
     print("device:", jax.devices()[0].device_kind)
-    shapes = [(2, 2048)]
-    if len(sys.argv) > 1 and sys.argv[1] == "full":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "probe"
+    if mode == "full":
         shapes = [(g, c) for g in (2, 4) for c in (1024, 2048, 4096)]
-    for g, ctx in shapes:
-        nprog = 512 * 2048 // ctx  # constant total KV bytes
-        run_variant("qmajor/1024-loop", functools.partial(k_qmajor, gsz=1024),
-                    nprog, ctx, g, jnp.bfloat16)
+        for g, ctx in shapes:
+            nprog = 512 * 2048 // ctx  # constant total KV bytes
+            run_variant("qmajor/1024-loop",
+                        functools.partial(k_qmajor, gsz=1024),
+                        nprog, ctx, g, jnp.bfloat16)
+            run_variant("qmajor/full", k_qmajor_full, nprog, ctx, g,
+                        jnp.bfloat16)
+            run_variant("ctxmajor", k_ctxmajor, nprog, ctx, g, jnp.bfloat16)
+            run_variant("qmajor/int8", k_qmajor_int8, nprog, ctx, g, jnp.int8)
+            run_variant("ctxmajor/int8", k_ctxmajor_int8, nprog, ctx, g,
+                        jnp.int8)
+            print()
+        return
+    if mode == "probe":
+        # Attribution probe at the engine shape: what is the 3.7 us/program
+        # floor made of, and does it amortize with pairs-per-grid-step?
+        g, ctx, nprog = 2, 2048, 512
+        run_variant("dma-only", k_dma_only, nprog, ctx, g, jnp.bfloat16)
+        run_variant("qk-only", k_qk_only, nprog, ctx, g, jnp.bfloat16)
+        run_variant("pv-only", k_pv_only, nprog, ctx, g, jnp.bfloat16)
         run_variant("qmajor/full", k_qmajor_full, nprog, ctx, g, jnp.bfloat16)
-        run_variant("ctxmajor", k_ctxmajor, nprog, ctx, g, jnp.bfloat16)
-        run_variant("qmajor/int8", k_qmajor_int8, nprog, ctx, g, jnp.int8)
-        run_variant("ctxmajor/int8", k_ctxmajor_int8, nprog, ctx, g, jnp.int8)
-        print()
+        for P in (2, 4, 8):
+            run_variant(f"multi P={P}", k_qmajor_multi, nprog, ctx, g,
+                        jnp.bfloat16, P=P)
+        for P in (4,):
+            run_variant(f"stackN P={P}", k_qmajor_stackP, nprog, ctx, g,
+                        jnp.bfloat16, P=P)
+        # Scaling in nprog at constant total bytes: per-program overhead
+        # shows as time growing with nprog.
+        for ctx2 in (1024, 4096):
+            run_variant("qmajor/full", k_qmajor_full, 512 * 2048 // ctx2,
+                        ctx2, g, jnp.bfloat16)
+        return
 
 
 if __name__ == "__main__":

@@ -151,6 +151,10 @@ class LLMConfig:
     # attention/sparse_decode_kernel.py:84,136-161; e4m3's dynamic range
     # covers RMSNorm-scale K/V without per-row scales).
     kv_cache_dtype: str = "auto"
+    # GEMM weight storage: "auto" keeps the checkpoint dtype; "int8" applies
+    # per-output-channel weight-only quantization at engine init
+    # (layers/quant.py) — halves the weight bytes every decode step streams.
+    weight_dtype: str = "auto"
 
     # Compression.
     leverage_sketch_size: int = 48
@@ -193,6 +197,11 @@ class LLMConfig:
         ), "page size must be a power of two >= 8"
         assert 1 <= self.tensor_parallel_size <= 64
         assert 0.0 < self.hbm_utilization <= 1.0
+        if self.weight_dtype not in ("auto", "int8"):
+            raise ValueError(
+                f"weight_dtype must be 'auto' or 'int8', got "
+                f"{self.weight_dtype!r}"
+            )
         if not self.enable_chunked_prefill:
             # Without chunked prefill a whole prompt must fit one batch.
             self.max_num_batched_tokens = max(

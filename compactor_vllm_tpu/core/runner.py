@@ -141,6 +141,10 @@ class ModelRunner:
         self.mesh = mesh
         # Per-device shard of the model (heads/experts/vocab divided by tp).
         self.lspec = local_spec(spec, self.tp)
+        if cfg.weight_dtype == "int8":
+            from compactor_vllm_tpu.layers.quant import quantize_params_int8
+
+            params = quantize_params_int8(params, spec)
         self._cache_dtype = cache_dtype
         # Attention backend is chosen before the pool derivation so the
         # measured-memory probe compiles the production kernels.
@@ -513,7 +517,7 @@ class ModelRunner:
         return jax.shard_map(
             wrapped,
             mesh=self.mesh,
-            in_specs=(param_pspecs(self.spec), cache_pspecs(),
+            in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype == "int8"), cache_pspecs(),
                       self._dp_meta_specs(meta_type), P(AXIS_DP), P()),
             out_specs=(cache_pspecs(), out_spec),
             check_vma=False,
@@ -651,7 +655,7 @@ class ModelRunner:
                 loop = jax.shard_map(
                     loop,
                     mesh=self.mesh,
-                    in_specs=(param_pspecs(self.spec), cache_pspecs(),
+                    in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype == "int8"), cache_pspecs(),
                               self._dp_meta_specs(DecodeMeta),
                               P(AXIS_DP), P(AXIS_DP), P(), P()),
                     out_specs=(cache_pspecs(), P()),

@@ -32,6 +32,7 @@ from compactor_vllm_tpu.kv_cache.state import (
     store_prefill_full,
     store_prefill_sel,
 )
+from compactor_vllm_tpu.layers.quant import wdot, wdot_row
 from compactor_vllm_tpu.layers.ops import (
     apply_rope,
     make_inv_freq,
@@ -341,7 +342,7 @@ def _attention_block(
     lens_l=None,  # [Bd, H] this layer's cached lengths (decode)
 ):
     N = normed.shape[0]
-    qkv = normed @ lp["qkv_proj"]
+    qkv = wdot(normed, lp, "qkv_proj")
     q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
     q = q.reshape(N, spec.num_q_heads, spec.head_dim)
     k = k.reshape(N, spec.num_kv_heads, spec.head_dim)
@@ -427,7 +428,7 @@ def _attention_block(
 
     # Row-parallel output projection: partial products reduced over the tp
     # axis (reference: layers/linear.py:149-153 all_reduce).
-    out = psum_partial(o.reshape(N, spec.q_size) @ lp["o_proj"], tp_axis)
+    out = wdot_row(o.reshape(N, spec.q_size), lp, "o_proj", psum_partial, tp_axis)
     return cache, out, kv_out
 
 
@@ -438,12 +439,16 @@ def _mlp_block(
         from compactor_vllm_tpu.layers.moe import moe_block
 
         return moe_block(spec, lp, x, tp_axis)
-    return psum_partial(
-        silu_and_mul(x @ lp["gate_up_proj"]) @ lp["down_proj"], tp_axis
+    return wdot_row(
+        silu_and_mul(wdot(x, lp, "gate_up_proj")), lp, "down_proj",
+        psum_partial, tp_axis,
     )
 
 
-_ATTN_KEYS = ("input_norm", "qkv_proj", "o_proj", "post_norm", "q_norm", "k_norm")
+_ATTN_KEYS = (
+    "input_norm", "qkv_proj", "qkv_proj_scale", "o_proj", "o_proj_scale",
+    "post_norm", "q_norm", "k_norm",
+)
 
 
 def _segment_layers(layers: dict, spec: ModelSpec, a: int, b: int, moe: bool):
@@ -453,7 +458,8 @@ def _segment_layers(layers: dict, spec: ModelSpec, a: int, b: int, moe: bool):
     memory on the other kind's weights)."""
     lp = {k: layers[k][a:b] for k in _ATTN_KEYS if k in layers}
     if not spec.is_mixed:
-        for k in ("router", "gate_up_proj", "down_proj"):
+        for k in ("router", "gate_up_proj", "gate_up_proj_scale",
+                  "down_proj", "down_proj_scale"):
             if k in layers:
                 lp[k] = layers[k][a:b]
         return lp
@@ -467,6 +473,10 @@ def _segment_layers(layers: dict, spec: ModelSpec, a: int, b: int, moe: bool):
     else:
         lp["gate_up_proj"] = layers["dense_gate_up_proj"][off : off + n]
         lp["down_proj"] = layers["dense_down_proj"][off : off + n]
+        for k in ("gate_up_proj", "down_proj"):
+            sk = f"dense_{k}_scale"
+            if sk in layers:
+                lp[k + "_scale"] = layers[sk][off : off + n]
     return lp
 
 
@@ -502,7 +512,11 @@ def forward(
     mid-decode and lengths advance deterministically) — the per-step gathers
     cost ~2 ms on a 7 GB cache.
     """
-    x = vocab_parallel_embed(params["embed"], meta.input_ids, tp_axis)
+    x = vocab_parallel_embed(
+        params["embed"], meta.input_ids, tp_axis,
+        scale=params.get("embed_scale"),
+        dtype=params["final_norm"].dtype,
+    )
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta, spec.rope_scaling_dict)
     residual = jnp.zeros_like(x)
 
@@ -578,7 +592,13 @@ def compute_local_logits(
     layers/embed_head.py:61-68)."""
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
+        head, scale = params["embed"].T, params.get("embed_scale")
+        scale = None if scale is None else scale.T  # [1, V_local]
+    else:
+        scale = params.get("lm_head_scale")
+    if head.dtype == jnp.int8:
+        logits = (hidden @ head.astype(hidden.dtype)).astype(jnp.float32)
+        return logits * scale
     return (hidden @ head).astype(jnp.float32)
 
 

@@ -60,8 +60,11 @@ def local_spec(spec: ModelSpec, tp: int) -> ModelSpec:
     return replace(spec, **kw)
 
 
-def param_pspecs(spec: ModelSpec) -> dict:
-    """PartitionSpec tree matching the parameter pytree of init_params/load_params."""
+def param_pspecs(spec: ModelSpec, quantized: bool = False) -> dict:
+    """PartitionSpec tree matching the parameter pytree of init_params/
+    load_params (plus the `*_scale` siblings of layers/quant.py when
+    `quantized`: scales shard with the weight's OUTPUT axis — weights
+    sharded on the contracted axis keep replicated scales)."""
     layers = {
         "input_norm": P(),
         "qkv_proj": P(None, None, AXIS_TP),
@@ -88,6 +91,18 @@ def param_pspecs(spec: ModelSpec) -> dict:
     }
     if not spec.tie_word_embeddings:
         specs["lm_head"] = P(None, AXIS_TP)
+    if quantized:
+        layers["qkv_proj_scale"] = P(None, None, AXIS_TP)
+        layers["o_proj_scale"] = P()
+        if not spec.is_moe:
+            layers["gate_up_proj_scale"] = P(None, None, AXIS_TP)
+            layers["down_proj_scale"] = P()
+        elif spec.is_mixed:
+            layers["dense_gate_up_proj_scale"] = P(None, None, AXIS_TP)
+            layers["dense_down_proj_scale"] = P()
+        specs["embed_scale"] = P(AXIS_TP, None)
+        if not spec.tie_word_embeddings:
+            specs["lm_head_scale"] = P(None, AXIS_TP)
     return specs
 
 
@@ -114,18 +129,22 @@ def shard_blocked_params(params: dict, spec: ModelSpec, tp: int) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     qs, kvs = spec.q_size, spec.kv_size
-    qkv = layers["qkv_proj"]
-    layers["qkv_proj"] = _blocked_cols(
-        [qkv[..., :qs], qkv[..., qs : qs + kvs], qkv[..., qs + kvs :]], tp
-    )
+
+    def permute(key, bounds):
+        for k in (key, key + "_scale"):
+            if k in layers:
+                w = layers[k]
+                blocks = [
+                    w[..., a:b] for a, b in zip((0,) + bounds, bounds + (None,))
+                ]
+                layers[k] = _blocked_cols(blocks, tp)
+
+    permute("qkv_proj", (qs, qs + kvs))
+    I = spec.intermediate_size
     if not spec.is_moe:
-        gu = layers["gate_up_proj"]
-        I = spec.intermediate_size
-        layers["gate_up_proj"] = _blocked_cols([gu[..., :I], gu[..., I:]], tp)
+        permute("gate_up_proj", (I,))
     elif spec.is_mixed:
-        gu = layers["dense_gate_up_proj"]
-        I = spec.intermediate_size
-        layers["dense_gate_up_proj"] = _blocked_cols([gu[..., :I], gu[..., I:]], tp)
+        permute("dense_gate_up_proj", (I,))
     out["layers"] = layers
     return out
 
@@ -146,7 +165,7 @@ def shard_params(params: dict, spec: ModelSpec, mesh, tp: int) -> dict:
     from jax.sharding import NamedSharding
 
     params = shard_blocked_params(params, spec, tp)
-    pspecs = param_pspecs(spec)
+    pspecs = param_pspecs(spec, quantized="embed_scale" in params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs
     )

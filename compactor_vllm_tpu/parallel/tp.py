@@ -20,15 +20,27 @@ def psum_partial(x: jax.Array, axis: str | None) -> jax.Array:
     return jax.lax.psum(x, axis) if axis else x
 
 
-def vocab_parallel_embed(table: jax.Array, ids: jax.Array, axis: str | None) -> jax.Array:
-    """table is the vocab-row shard [V_local, Hd]; ids are global token ids."""
+def vocab_parallel_embed(
+    table: jax.Array, ids: jax.Array, axis: str | None, scale=None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """table is the vocab-row shard [V_local, Hd]; ids are global token ids.
+    `scale` [V_local, 1] dequantizes an int8 table (layers/quant.py) into
+    `dtype` (the model compute dtype)."""
+
+    def deq(x, s):
+        if scale is None:
+            return x
+        return x.astype(dtype) * s.astype(dtype)
+
     if not axis:
-        return table[ids]
+        return deq(table[ids], None if scale is None else scale[ids])
     v_local = table.shape[0]
     lo = jax.lax.axis_index(axis) * v_local
     local = ids - lo
     ok = (local >= 0) & (local < v_local)
-    x = table[jnp.clip(local, 0, v_local - 1)]
+    idx = jnp.clip(local, 0, v_local - 1)
+    x = deq(table[idx], None if scale is None else scale[idx])
     x = jnp.where(ok[..., None], x, 0)
     return jax.lax.psum(x, axis)
 
