@@ -151,6 +151,12 @@ class LLMConfig:
     # attention/sparse_decode_kernel.py:84,136-161; e4m3's dynamic range
     # covers RMSNorm-scale K/V without per-row scales).
     kv_cache_dtype: str = "auto"
+    # Decode-append strategy: aligned decode blocks turn the per-step cache
+    # append into a few wide window writes instead of L*B*H row scatters
+    # (kv_cache/state.py store_decode_blocks). Auto-falls-back per batch when
+    # a sequence's retained lengths are not page-aligned (requires
+    # pad_retained_to_page) or the pool is too fragmented for aligned runs.
+    decode_block_append: bool = True
     # GEMM weight storage: "auto" keeps the checkpoint dtype; "int8" applies
     # per-output-channel weight-only quantization at engine init
     # (layers/quant.py) — halves the weight bytes every decode step streams.

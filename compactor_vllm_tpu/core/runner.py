@@ -72,6 +72,10 @@ logger = logging.getLogger(__name__)
 # fraction of its target occupancy (reference: model_runner.py:297-315).
 DECODE_OCCUPANCY = 0.66
 
+# Out-of-range view-block id: marks decode lanes without a block — the
+# block-append scatter drops them (kv_cache.state.store_decode_blocks).
+OOB_BLOCK = np.int32(2**30)
+
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
@@ -170,15 +174,19 @@ class ModelRunner:
         )
         # Geometry is shard-local: each tp device owns its kv-head shard and
         # its own page pool (reference analog: each rank's private cache,
-        # core/memory_manager.py:29-31).
+        # core/memory_manager.py:29-31). Pool and trash sizes are rounded so
+        # the rows buffer bitcasts to [NB, H, page_size, 2D] — the view the
+        # decode-block append scatters through (store_decode_blocks).
+        hs = self.lspec.num_kv_heads
         self.geom = KVCacheGeometry(
             num_layers=spec.num_layers,
-            num_pages=num_pages,
+            num_pages=num_pages - num_pages % hs,
             page_size=cfg.kvcache_page_size,
-            num_kv_heads=self.lspec.num_kv_heads,
+            num_kv_heads=hs,
             head_dim=spec.head_dim,
             num_slots=cfg.max_num_seqs + 1,
             max_pages_per_head=cfg.max_pages_per_head,
+            trash_pages=hs,
         )
         if self.mesh is None:
             self.cache = init_kv_cache(self.geom, dtype=cache_dtype)
@@ -473,6 +481,8 @@ class ModelRunner:
                 return P()
             if f in ("contig8", "store_contig"):
                 return P(AXIS_DP, None, AXIS_TP, None)
+            if f == "dec_blk":  # [G, L, Bd, S, NBLK]: shard axis over tp
+                return P(AXIS_DP, None, None, AXIS_TP, None)
             return P(AXIS_DP)
 
         return meta_type(**{f: spec_for(f) for f in meta_type._fields})
@@ -548,8 +558,8 @@ class ModelRunner:
             self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
-    def _decode_fn(self, b_pad: int, max_pages: int = 0):
-        key = ("decode", b_pad, max_pages)
+    def _decode_fn(self, b_pad: int, max_pages: int = 0, use_blocks: bool = False):
+        key = ("decode", b_pad, max_pages, use_blocks)
         if key not in self._fn_cache:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
@@ -558,7 +568,7 @@ class ModelRunner:
                     params, cache, meta, spec=self.lspec, geom=self.geom,
                     comp=CompressionStatic(method=CompressionMethod.NONE),
                     attn=self.attn, is_prefill=False, tp_axis=tp_axis,
-                    max_pages=max_pages,
+                    max_pages=max_pages, dec_blocks=use_blocks,
                 )
                 logits = compute_local_logits(params, self.lspec, hidden)
                 tokens = sample_tokens_sharded(logits, temps, rng, tp_axis)
@@ -569,13 +579,16 @@ class ModelRunner:
             self._fn_cache[key] = jax.jit(step, donate_argnums=(1,))
         return self._fn_cache[key]
 
-    def _decode_loop_fn(self, b_pad: int, n_steps: int, max_pages: int = 0):
+    def _decode_loop_fn(
+        self, b_pad: int, n_steps: int, max_pages: int = 0,
+        use_blocks: bool = False,
+    ):
         """n_steps decode iterations in ONE compiled program with in-device
         termination masking — the TPU analog of the reference's CUDA-graph
         decode loop (core/model_runner.py:391-491): finished lanes stop
         sampling/storing but stay in the batch until the host re-packs.
         Amortizes the dispatch round-trip and per-step host work."""
-        key = ("decode_loop", b_pad, n_steps, max_pages)
+        key = ("decode_loop", b_pad, n_steps, max_pages, use_blocks)
         if key not in self._fn_cache:
             tp_axis = AXIS_TP if self.mesh is not None else None
 
@@ -594,6 +607,9 @@ class ModelRunner:
                     dmeta = DecodeMeta(
                         input_ids=ids, positions=positions,
                         slots=meta.slots, valid=alive, contig8=meta.contig8,
+                        dec_blk=meta.dec_blk,
+                        dec_pos=None if meta.dec_pos is None
+                        else meta.dec_pos + appended,
                     )
                     lens_sel = lens0 + appended[None, :, None]
                     cache, hidden = forward(
@@ -601,6 +617,7 @@ class ModelRunner:
                         comp=CompressionStatic(method=CompressionMethod.NONE),
                         attn=self.attn, is_prefill=False, tp_axis=tp_axis,
                         max_pages=max_pages, pt_sel=pt_sel, lens_sel=lens_sel,
+                        dec_blocks=use_blocks,
                     )
                     logits = compute_local_logits(params, self.lspec, hidden)
                     tokens = sample_tokens_sharded(
@@ -861,27 +878,80 @@ class ModelRunner:
             )
             gslots = slots + group * self.geom.num_slots
             lens = np.asarray(self.cache.bh_lens[:, gslots])
+        page = self.geom.page_size
+        updates = []
         for i, s in enumerate(seqs):
             # Mid-prompt chunks keep headroom for the REST of the prompt on
             # top of generation (progressive reclaim: pages already saved by
             # earlier chunks' compression are returned immediately).
             remaining_prompt = s.num_prompt_tokens - s.num_prefilled_tokens
             headroom = s.sampling_params.max_new_tokens + remaining_prompt
-            alloc.shrink(s.seq_id, lens[:, i, :] + headroom)
+            sl = lens[:, i, :]
+            # Decode entry: when every retained length is page-aligned
+            # (pad_retained_to_page), swap the generic headroom pages for
+            # aligned decode blocks — the fused decode loop then appends via
+            # L*Bd [H, 2D] windows instead of L*Bd*H row scatters
+            # (store_decode_blocks). Page count is unchanged.
+            if (
+                remaining_prompt == 0
+                and self.cfg.decode_block_append
+                and self.geom.blocks_aligned
+                and not (sl % page).any()
+            ):
+                alloc.shrink(s.seq_id, sl)
+                nblk = cdiv(s.sampling_params.max_new_tokens, page)
+                blocks = alloc.alloc_decode_blocks(
+                    s.seq_id, nblk, (sl // page).astype(np.int64)
+                )
+                if blocks is None:  # fragmented/over-wide: restore headroom
+                    # The re-grown pages may be distributed differently than
+                    # the rows the device table holds (LIFO churn) — refresh.
+                    alloc.grow_per_head(s.seq_id, sl + headroom)
+                    updates.append(SlotUpdate(
+                        slot=alloc.slot_of_seq[s.seq_id],
+                        num_cols=cdiv(int(sl.max()) + headroom, page),
+                    ))
+                else:
+                    updates.append(SlotUpdate(
+                        slot=alloc.slot_of_seq[s.seq_id],
+                        num_cols=int(sl.max()) // page + nblk,
+                    ))
+            else:
+                alloc.shrink(s.seq_id, sl + headroom)
             if remaining_prompt == 0:
-                s.max_head_len = int(lens[:, i, :].max())
+                s.max_head_len = int(sl.max())
+        # Freshly installed block pages must reach the device table before
+        # the next decode dispatch reads/appends through them.
+        self.sync_page_table(updates, group=group)
 
-    def _decode_group_arrays(self, seqs, group, b_pad):
+    def _decode_group_arrays(self, seqs, group, b_pad, nblk_pad):
         alloc = self.allocs[group]
+        geom = self.geom
         ids = np.zeros(b_pad, np.int32)
         pos = np.zeros(b_pad, np.int32)
         slots = np.zeros(b_pad, np.int32)
         temps = np.zeros(b_pad, np.float32)
+        # Decode-block ids: OOB-filled lanes (padding, or seqs without
+        # blocks) are dropped by the append scatter.
+        L, S = geom.num_layers, self.tp
+        dec_blk = np.full((L, b_pad, S, nblk_pad), OOB_BLOCK, np.int32)
+        dec_pos = np.zeros(b_pad, np.int32)
+        layer_base = (
+            np.arange(L, dtype=np.int32)[:, None, None]
+            * (geom.num_pages // geom.num_kv_heads)
+        )
         for i, s in enumerate(seqs):
             ids[i] = s.last_token
             pos[i] = s.num_tokens - 1
             slots[i] = alloc.slot_of_seq[s.seq_id]
             temps[i] = s.sampling_params.temperature
+            blocks = alloc.decode_blocks.get(s.seq_id)
+            if blocks is not None and blocks.shape[-1]:
+                nb = blocks.shape[-1]
+                dec_blk[:, i, :, :nb] = layer_base + blocks // geom.num_kv_heads
+            # Appends since decode entry: every completion token except the
+            # newest has been processed (appended) by a decode step.
+            dec_pos[i] = s.num_completion_tokens - 1
         valid = np.arange(b_pad) < len(seqs)
         from compactor_vllm_tpu.ops.pallas_attention import DECODE_GROUP
 
@@ -894,25 +964,53 @@ class ModelRunner:
         return {
             "input_ids": ids, "positions": pos, "slots": slots,
             "valid": valid, "contig8": contig8,
+            "dec_blk": dec_blk, "dec_pos": dec_pos,
         }, temps
 
     def _decode_meta(self, groups: list[list[Sequence]]):
         b_pad = _bucket(
             max(len(g) for g in groups), self.cfg.decode_batch_buckets
         )
+        # Block-append path: every live sequence must own decode blocks
+        # (installed by reclaim_after_compression when its retained lengths
+        # were page-aligned) — mixed batches fall back to the row scatter.
+        live = [s for g in groups for s in g]
+        use_blocks = (
+            self.cfg.decode_block_append
+            and self.geom.blocks_aligned
+            and bool(live)
+            and all(
+                self.allocs[gi].decode_blocks.get(s.seq_id) is not None
+                for gi, g in enumerate(groups)
+                for s in g
+            )
+        )
+        nblk_pad = 1
+        if use_blocks:
+            nblk_pad = _pow2_bucket(
+                max(
+                    self.allocs[gi].decode_blocks[s.seq_id].shape[-1]
+                    for gi, g in enumerate(groups)
+                    for s in g
+                ),
+                1,
+            )
         packs = [
-            self._decode_group_arrays(g, gi, b_pad)
+            self._decode_group_arrays(g, gi, b_pad, nblk_pad)
             for gi, g in enumerate(groups)
         ]
         if self.mesh is None:
             arrays, temps = packs[0]
             meta = DecodeMeta(**{f: jnp.asarray(v) for f, v in arrays.items()})
-            return b_pad, meta, jnp.asarray(temps)
+            return b_pad, meta, jnp.asarray(temps), use_blocks
         meta = DecodeMeta(**{
             f: jnp.asarray(np.stack([p[0][f] for p in packs]))
             for f in packs[0][0]
         })
-        return b_pad, meta, jnp.asarray(np.stack([p[1] for p in packs]))
+        return (
+            b_pad, meta, jnp.asarray(np.stack([p[1] for p in packs])),
+            use_blocks,
+        )
 
     @staticmethod
     def _as_groups(seqs):
@@ -940,8 +1038,10 @@ class ModelRunner:
     def run_decode_step(self, seqs) -> np.ndarray:
         groups, flat = self._as_groups(seqs)
         groups += [[] for _ in range(self.dp - len(groups))]
-        b_pad, meta, temps = self._decode_meta(groups)
-        fn = self._decode_fn(b_pad, self._decode_max_pages(groups, 1))
+        b_pad, meta, temps, use_blocks = self._decode_meta(groups)
+        fn = self._decode_fn(
+            b_pad, self._decode_max_pages(groups, 1), use_blocks
+        )
         self.cache, tokens = fn(self.params, self.cache, meta, temps, self._next_key())
         tokens = np.asarray(tokens)
         if self.mesh is None:
@@ -955,7 +1055,7 @@ class ModelRunner:
         lanes). `seqs` is flat (single group) or per-dp-group lists."""
         groups, flat = self._as_groups(seqs)
         groups += [[] for _ in range(self.dp - len(groups))]
-        b_pad, meta, temps = self._decode_meta(groups)
+        b_pad, meta, temps, use_blocks = self._decode_meta(groups)
         remaining = np.ones((len(groups), b_pad), np.int32)
         for gi, g in enumerate(groups):
             for i, s in enumerate(g):
@@ -963,7 +1063,8 @@ class ModelRunner:
                     s.sampling_params.max_new_tokens - s.num_completion_tokens
                 )
         fn = self._decode_loop_fn(
-            b_pad, n_steps, self._decode_max_pages(groups, n_steps)
+            b_pad, n_steps, self._decode_max_pages(groups, n_steps),
+            use_blocks,
         )
         rem = jnp.asarray(remaining if self.mesh is not None else remaining[0])
         self.cache, tokens = fn(

@@ -80,6 +80,10 @@ class PageAllocator:
         # peak-KV-memory observability (BASELINE.md headline metric).
         self.peak_used_pages = 0
 
+        # Decode blocks per seq: [L, S, nblk] first-page ids of aligned
+        # heads_per_shard-page runs (see alloc_decode_blocks).
+        self.decode_blocks: dict[int, np.ndarray] = {}
+
     # ------------------------------------------------------------------ slots
 
     @property
@@ -93,6 +97,7 @@ class PageAllocator:
 
     def release_slot(self, seq_id: int) -> None:
         slot = self.slot_of_seq.pop(seq_id)
+        self.decode_blocks.pop(seq_id, None)
         self._free_all_pages(slot)
         self.free_slots.append(slot)
 
@@ -117,10 +122,21 @@ class PageAllocator:
         assert target <= self.max_pages_per_head, (
             f"sequence of {num_tokens} tokens exceeds max_model_len capacity"
         )
+        self.grow_per_head(
+            seq_id, np.full((self.L, self.H), num_tokens, np.int64)
+        )
+        return SlotUpdate(slot=slot, num_cols=target)
+
+    def grow_per_head(self, seq_id: int, target_tokens: np.ndarray) -> None:
+        """Grow each (layer, head) row of this sequence's slot to cover
+        `target_tokens[l, h]` tokens (per-head variant of `reserve`; used to
+        restore decode headroom when aligned decode blocks are unavailable)."""
+        slot = self.slot_of_seq[seq_id]
+        target = -(-target_tokens // self.page_size)  # cdiv, [L, H]
+        assert int(target.max()) <= self.max_pages_per_head
         hs = self.heads_per_shard
-        max_col = 0
         for l in range(self.L):
-            need = target - self.num_pages[l, slot]  # [H]
+            need = (target[l] - self.num_pages[l, slot]).astype(np.int64)
             np.maximum(need, 0, out=need)
             if not need.any():
                 continue
@@ -133,7 +149,6 @@ class PageAllocator:
                 assert total <= cnt, "out of KV pages (scheduler must gate this)"
                 popped = self.free[l, s, cnt - total : cnt]
                 self.free_count[l, s] = cnt - total
-                # Distribute popped ids to heads of this shard.
                 off = 0
                 for hl in range(hs):
                     n = int(need_s[s, hl])
@@ -143,12 +158,70 @@ class PageAllocator:
                     cur = self.num_pages[l, slot, h]
                     self.page_table[l, slot, h, cur : cur + n] = popped[off : off + n]
                     off += n
-            self.num_pages[l, slot] = np.maximum(self.num_pages[l, slot], target)
-            max_col = max(max_col, target)
+            self.num_pages[l, slot] = np.maximum(self.num_pages[l, slot], target[l])
         self.peak_used_pages = max(
             self.peak_used_pages, int(self.P - self.free_count.min())
         )
-        return SlotUpdate(slot=slot, num_cols=max_col)
+
+    def alloc_decode_blocks(
+        self, seq_id: int, nblk: int, start_cols: np.ndarray
+    ) -> np.ndarray | None:
+        """Install `nblk` decode blocks for this sequence.
+
+        A decode block is an ALIGNED run of `heads_per_shard` consecutive
+        page ids (p0 % hs == 0): page p0+hl serves local head hl. Block j's
+        pages are installed at page-table column `start_cols[l, h] + j`
+        (start_cols = retained_lens // page_size; pad_retained_to_page makes
+        retained lengths page-aligned, so every head's decode append lands at
+        the same in-block offset — see kv_cache.state.store_decode_blocks).
+
+        Returns [L, S, nblk] first-page ids, or None (no state mutated) when
+        any (layer, shard) pool lacks nblk free aligned runs or a column
+        would exceed max_pages_per_head — callers fall back to per-head pages
+        + the row-scatter append.
+        """
+        hs = self.heads_per_shard
+        slot = self.slot_of_seq[seq_id]
+        if nblk <= 0:
+            return np.zeros((self.L, self.S, 0), np.int32)
+        if int(start_cols.max()) + nblk > self.max_pages_per_head:
+            return None
+        # Pass 1: find candidate aligned runs everywhere (no mutation).
+        cand = np.zeros((self.L, self.S, nblk), np.int32)
+        for l in range(self.L):
+            for s in range(self.S):
+                cnt = int(self.free_count[l, s])
+                free_ids = self.free[l, s, :cnt]
+                bitmap = np.zeros(self.P, bool)
+                bitmap[free_ids] = True
+                grp = np.flatnonzero(bitmap.reshape(-1, hs).all(axis=1))
+                if grp.size < nblk:
+                    return None
+                # Prefer low ids: prefill reservations pop from the stack
+                # TOP (high end / recently freed churn zone), so low groups
+                # survive longest and taking them preserves the top-of-stack
+                # contiguous runs that prefill's grouped DMAs rely on.
+                cand[l, s] = grp[:nblk].astype(np.int32) * hs
+        # Pass 2: commit — remove pages from the stacks, install the table.
+        for l in range(self.L):
+            for s in range(self.S):
+                pages = (cand[l, s][:, None] + np.arange(hs)).ravel()
+                cnt = int(self.free_count[l, s])
+                keep = self.free[l, s, :cnt][
+                    ~np.isin(self.free[l, s, :cnt], pages)
+                ]
+                self.free[l, s, : keep.size] = keep
+                self.free_count[l, s] = keep.size
+                for hl in range(hs):
+                    h = s * hs + hl
+                    cols = start_cols[l, h] + np.arange(nblk)
+                    self.page_table[l, slot, h, cols] = cand[l, s] + hl
+                    self.num_pages[l, slot, h] = start_cols[l, h] + nblk
+        self.peak_used_pages = max(
+            self.peak_used_pages, int(self.P - self.free_count.min())
+        )
+        self.decode_blocks[seq_id] = cand
+        return cand
 
     def shrink(self, seq_id: int, keep_tokens: np.ndarray) -> None:
         """Return surplus pages to the pools, keeping capacity for

@@ -57,6 +57,12 @@ class KVCacheGeometry(NamedTuple):
     head_dim: int
     num_slots: int
     max_pages_per_head: int
+    # Trailing trash pages (scatter/DMA target for padded lanes). The runner
+    # sets this to num_kv_heads (and rounds num_pages down to a multiple of
+    # it) so total_rows is divisible by num_kv_heads * page_size — the
+    # bitcast view [blocks, H, page_size, 2D] used by the decode-block
+    # append (store_decode_blocks).
+    trash_pages: int = 1
 
     @property
     def rows_per_layer(self) -> int:
@@ -64,13 +70,22 @@ class KVCacheGeometry(NamedTuple):
 
     @property
     def num_rows(self) -> int:
-        """Valid cache rows, excluding the trash page."""
+        """Valid cache rows, excluding the trash pages."""
         return self.num_layers * self.rows_per_layer
 
     @property
     def total_rows(self) -> int:
-        """Rows including the trailing trash page."""
-        return self.num_rows + self.page_size
+        """Rows including the trailing trash pages."""
+        return self.num_rows + self.trash_pages * self.page_size
+
+    @property
+    def blocks_aligned(self) -> bool:
+        """Whether the rows buffer admits the [NB, H, page_size, 2D] view
+        required by the decode-block append path."""
+        return (
+            self.num_pages % self.num_kv_heads == 0
+            and self.total_rows % (self.num_kv_heads * self.page_size) == 0
+        )
 
 
 def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
@@ -240,6 +255,55 @@ def store_decode_all_layers(
         [k_new.reshape(-1, D), v_new.reshape(-1, D)], axis=-1
     ).astype(state.kv_pages.dtype)
     kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
+    new_lens = cur + valid[None, :, None].astype(cur.dtype)
+    B = state.bh_lens.shape[1]
+    safe_slots = jnp.where(valid, slots, B)
+    bh_lens = state.bh_lens.at[:, safe_slots].set(
+        jnp.where(valid[None, :, None], new_lens, 0), mode="drop"
+    )
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
+
+
+def store_decode_blocks(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    k_all: jax.Array,  # [L, Bd, H, D] one token per (layer, slot, head)
+    v_all: jax.Array,
+    slots: jax.Array,  # [Bd]
+    valid: jax.Array,  # [Bd] bool
+    vblk: jax.Array,  # [L, Bd] view-block index ((l*P + p0) // H)
+    dec_off: jax.Array,  # [Bd] in-block row offset (uniform over layers/heads)
+    cur: jax.Array,  # [L, Bd, H] pre-gathered current lengths
+) -> KVCacheState:
+    """Decode append into aligned decode blocks.
+
+    A decode block is a run of H consecutive, H-aligned page ids handed to a
+    (layer, slot) by PageAllocator.alloc_decode_blocks: page p0+h belongs to
+    head h. Because compressed retained lengths are page-aligned
+    (pad_retained_to_page, reference kv_cache/store_kv_cache.py:178-248),
+    every head of a slot appends at the SAME in-block offset, so the whole
+    step's L*Bd*H rows collapse to a scatter of L*Bd windows of [H, 2D]
+    through a bitcast view [NB, H, page_size, 2D] of the same pages buffer —
+    replacing the reference's per-row in-kernel append
+    (kv_cache/store_kv_cache.py:374-466) and the row-scatter fallback above
+    (XLA serializes scatters per index; fewer, wider windows are the win).
+
+    Lanes without a block (dead / padding / fallback) must carry an
+    out-of-range `vblk` — the scatter drops them.
+    """
+    L, Bd, H, D = k_all.shape
+    page = geom.page_size
+    NB = geom.total_rows // (H * page)
+    view = state.kv_pages.reshape(NB, H, page, 2 * D)
+    kv = jnp.concatenate([k_all, v_all], axis=-1).astype(view.dtype)
+    vblk = jnp.where(valid[None, :], vblk, NB)
+    # Advanced indices on dims 0 and 2 broadcast to [L, Bd] and move to the
+    # front: updates are [L, Bd, H, 2D] — exactly kv's layout. unique:
+    # every live (layer, slot) owns a distinct block.
+    view = view.at[vblk, :, dec_off[None, :], :].set(
+        kv, unique_indices=True, mode="drop"
+    )
+    kv_pages = view.reshape(geom.total_rows, 2 * D)
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
     safe_slots = jnp.where(valid, slots, B)

@@ -29,6 +29,7 @@ from compactor_vllm_tpu.kv_cache.state import (
     KVCacheGeometry,
     KVCacheState,
     store_decode_all_layers,
+    store_decode_blocks,
     store_prefill_full,
     store_prefill_sel,
 )
@@ -181,6 +182,15 @@ class DecodeMeta(NamedTuple):
     # in every layer -> decode kernel fetches it with one DMA (allocator
     # hands out consecutive runs; see PageAllocator.contig_groups).
     contig8: jax.Array
+    # Decode-block append metadata (kv_cache.state.store_decode_blocks; read
+    # only when the runner compiles the block-append path). dec_blk
+    # [L, Bd, S, NBLK] i32: view-block ids of each lane's decode blocks (S =
+    # tp-shard axis; out-of-range id marks a lane without blocks -> the
+    # append drops it). dec_pos [Bd] i32: tokens appended since decode entry
+    # — the in-block position, uniform over layers/heads because
+    # pad_retained_to_page makes retained lengths page-aligned.
+    dec_blk: jax.Array | None = None
+    dec_pos: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -495,6 +505,7 @@ def forward(
     max_pages: int = 0,
     pt_sel=None,
     lens_sel=None,
+    dec_blocks: bool = False,
 ):
     """Run the full decoder; returns (cache, final hidden states [N, hidden]).
 
@@ -575,10 +586,25 @@ def forward(
     if not is_prefill:
         k_all = jnp.concatenate([kv[0] for kv in kv_segs], axis=0)
         v_all = jnp.concatenate([kv[1] for kv in kv_segs], axis=0)  # [L, Bd, H, D]
-        cache = store_decode_all_layers(
-            geom, cache, k_all, v_all, meta.slots, meta.valid,
-            pt=pt_sel, cur=lens_sel,
-        )
+        if dec_blocks:
+            # Aligned decode blocks: the step's L*Bd*H rows collapse to
+            # L*Bd [H, 2D] windows (see store_decode_blocks). dec_blk's
+            # tp-shard axis is size 1 inside shard_map.
+            t = meta.dec_pos  # [Bd]
+            blk_tbl = meta.dec_blk[:, :, 0, :]  # [L, Bd, NBLK]
+            vblk = jnp.take_along_axis(
+                blk_tbl, (t // geom.page_size)[None, :, None], axis=2
+            )[..., 0]  # [L, Bd]
+            cur = lens_sel if lens_sel is not None else cache.bh_lens[:, meta.slots]
+            cache = store_decode_blocks(
+                geom, cache, k_all, v_all, meta.slots, meta.valid,
+                vblk, t % geom.page_size, cur,
+            )
+        else:
+            cache = store_decode_all_layers(
+                geom, cache, k_all, v_all, meta.slots, meta.valid,
+                pt=pt_sel, cur=lens_sel,
+            )
     hidden, _ = rms_norm_fused_add(x, residual, params["final_norm"], spec.rms_norm_eps)
     return cache, hidden
 
