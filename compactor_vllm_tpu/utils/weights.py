@@ -24,12 +24,17 @@ _EXPERT_RE = re.compile(r"^mlp\.experts\.(\d+)\.(.+)$")
 
 
 def _to_numpy(t) -> np.ndarray:
-    """torch tensor (possibly bf16) -> float32 numpy."""
+    """torch tensor -> numpy, dtype-preserving (bf16 via a bit-pattern view
+    — no f32 intermediate; ml_dtypes gives numpy a real bfloat16)."""
+    import ml_dtypes
     import torch
 
-    if t.dtype in (torch.bfloat16, torch.float16):
+    t = t.detach().cpu()
+    if t.dtype == torch.bfloat16:
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    if t.dtype == torch.float16:
         t = t.to(torch.float32)
-    return t.detach().cpu().numpy()
+    return t.numpy()
 
 
 def iter_checkpoint_tensors(path: str):
@@ -66,7 +71,11 @@ def load_params(
 
     L, Hd, D = spec.num_layers, spec.hidden_size, spec.head_dim
     qs, kvs = spec.q_size, spec.kv_size
-    np_dtype = np.float32
+    # Stage directly in the TARGET dtype: an 8B checkpoint then peaks at
+    # ~16 GB host RAM (bf16) instead of ~32 GB f32 staging + a second full
+    # f32->bf16 cast copy (the reference likewise keeps the checkpoint dtype
+    # end to end, models/llama3.py:243-281). Assignments cast per-tensor.
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
 
     layers: dict[str, np.ndarray] = {
         "input_norm": np.zeros((L, Hd), np_dtype),
@@ -183,7 +192,9 @@ def load_params(
         params["lm_head"] = top["lm_head"]
 
     def cast(x):
-        return jnp.asarray(x, dtype=dtype) if device_put else x.astype(np.float32)
+        # Staging arrays are already in `dtype` — this is a transfer, not a
+        # second full-tree cast copy.
+        return jnp.asarray(x, dtype=dtype) if device_put else np.asarray(x, np_dtype)
 
     import jax
 
