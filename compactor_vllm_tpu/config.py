@@ -140,6 +140,11 @@ class LLMConfig:
     # activation memory — from max_model_len. Incompatible with KV
     # compression, whose scoring needs the whole prompt's K in one batch.
     enable_chunked_prefill: bool = False
+    # Head-of-line skip aging: how many times the scheduler may admit
+    # sequences from behind a prompt whose page reservation does not fit
+    # before that prompt becomes a barrier (bounds starvation of long
+    # prompts; the reference is strict FCFS, core/scheduler.py:104-105).
+    hol_skip_limit: int = 16
 
     # KV cache geometry.
     kvcache_page_size: int = 64

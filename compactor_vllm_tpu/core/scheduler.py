@@ -87,6 +87,14 @@ class Scheduler:
         # contiguous-run DMAs (pallas_attention.STORE_GROUP).
         page = 8 * self.cfg.kvcache_page_size
         tokens = 0
+        # Sequences whose page reservation did not fit, bypassed this round
+        # (restored to the queue front afterwards). The reference breaks on
+        # the first unadmittable sequence (core/scheduler.py:104-105) —
+        # under per-head caps and mixed prompt lengths that lets one stuck
+        # 131K head-of-queue starve short admittable prompts behind it.
+        # Skipping is capacity-only and aged: after cfg.hol_skip_limit
+        # bypasses the sequence becomes a barrier, bounding its starvation.
+        skipped: list[Sequence] = []
         while self.waiting:
             seq = self.waiting[0]
             remaining = seq.num_prompt_tokens - seq.num_prefilled_tokens
@@ -122,10 +130,17 @@ class Scheduler:
                 )
                 if len(batch) + 1 > self.cfg.max_num_seqs:
                     break
-                if self.alloc.num_free_slots == 0 or not self.alloc.can_reserve(
-                    total_len
-                ):
-                    break
+                if self.alloc.num_free_slots == 0:
+                    break  # slots are uniform: nothing behind fits either
+                if not self.alloc.can_reserve(total_len):
+                    # Page capacity is length-dependent: shorter prompts
+                    # behind may still fit. Bypass unless starved too long.
+                    if seq.hol_skips >= self.cfg.hol_skip_limit:
+                        break
+                    seq.hol_skips += 1
+                    skipped.append(seq)
+                    self.waiting.popleft()
+                    continue
                 self.alloc.alloc_slot(seq.seq_id)
                 updates.append(self.alloc.reserve(seq.seq_id, total_len))
                 seq.status = SequenceStatus.RUNNING
@@ -136,6 +151,10 @@ class Scheduler:
             if take < remaining:
                 break  # partial chunk exhausted the budget; seq stays queued
             self.waiting.popleft()
+        # Bypassed sequences return to the queue FRONT in arrival order, so
+        # they are re-examined first as soon as capacity frees up.
+        for s in reversed(skipped):
+            self.waiting.appendleft(s)
         return batch, updates
 
     def finish(self, seq: Sequence) -> None:

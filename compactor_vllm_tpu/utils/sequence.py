@@ -41,6 +41,9 @@ class Sequence:
     # reclaim; 0 = uncompressed, i.e. the full prompt). Bounds the decode
     # kernels' resident context.
     max_head_len: int = 0
+    # Times the scheduler admitted sequences from BEHIND this one while it
+    # lacked page capacity (head-of-line skip aging; Scheduler.schedule_prefill).
+    hol_skips: int = 0
 
     def __post_init__(self):
         assert len(self.prompt_token_ids) >= 1, "empty prompt"

@@ -9,11 +9,11 @@ from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
 from compactor_vllm_tpu.utils.sequence import Sequence
 
 
-def make(num_pages=64, max_seqs=4, max_tokens=128, max_len=128):
+def make(num_pages=64, max_seqs=4, max_tokens=128, max_len=128, **kw):
     cfg = LLMConfig(
         max_num_seqs=max_seqs, max_model_len=max_len,
         max_num_batched_tokens=max_tokens, kvcache_page_size=8,
-        num_kv_pages=num_pages,
+        num_kv_pages=num_pages, **kw,
     )
     # __post_init__ clamps the token budget up to max_model_len.
     alloc = PageAllocator(
@@ -67,3 +67,46 @@ def test_prompt_longer_than_model_len_rejected():
     sched, alloc, cfg = make(max_len=128)
     with pytest.raises(ValueError):
         sched.add([seq(129)])
+
+
+def test_hol_blocked_prompt_does_not_starve_short_ones():
+    """A head-of-queue prompt whose pages don't fit is bypassed (up to
+    hol_skip_limit times) so admittable prompts behind it keep flowing —
+    the reference breaks on the first unadmittable sequence
+    (core/scheduler.py:104-105)."""
+    # 34 pages/pool: big (100+8 tok -> 14 pages x 2 heads = 28) + small
+    # (10+8 -> 3 x 2 = 6) fill the pool exactly; two bigs never fit at once.
+    sched, alloc, cfg = make(num_pages=34, max_tokens=4096, max_len=128)
+    big_a, big_b, s1, s2 = seq(100), seq(100), seq(10), seq(10)
+    sched.add([big_a, big_b, s1, s2])
+    batch, _ = sched.schedule_prefill()
+    assert [x.seq_id for x in batch] == [big_a.seq_id, s1.seq_id]
+    assert big_b.hol_skips == 1
+    # Bypassed seqs keep their arrival order at the queue front.
+    assert [x.seq_id for x in sched.waiting] == [big_b.seq_id, s2.seq_id]
+    sched.finish(big_a)
+    sched.finish(s1)
+    batch2, _ = sched.schedule_prefill()
+    assert [x.seq_id for x in batch2] == [big_b.seq_id, s2.seq_id]
+    alloc.check_invariants()
+
+
+def test_hol_skip_aging_becomes_barrier():
+    """After hol_skip_limit bypasses the starved prompt blocks the queue, so
+    it is guaranteed the next admission once capacity frees."""
+    sched, alloc, cfg = make(
+        num_pages=34, max_tokens=4096, max_len=128, hol_skip_limit=1
+    )
+    big_a, big_b, s1, s2 = seq(100), seq(100), seq(10), seq(10)
+    sched.add([big_a, big_b, s1, s2])
+    batch, _ = sched.schedule_prefill()
+    assert [x.seq_id for x in batch] == [big_a.seq_id, s1.seq_id]
+    # big_b reached the skip limit: now a barrier — nothing behind admits.
+    batch2, _ = sched.schedule_prefill()
+    assert batch2 == []
+    assert [x.seq_id for x in sched.waiting] == [big_b.seq_id, s2.seq_id]
+    sched.finish(big_a)
+    sched.finish(s1)
+    batch3, _ = sched.schedule_prefill()
+    assert batch3[0].seq_id == big_b.seq_id
+    alloc.check_invariants()
