@@ -553,6 +553,13 @@ def _decode_kernel_resident(
 
     @pl.when(idx == 0)
     def _():
+        # Zero both ring slots ONCE per dispatch (scratch VMEM is undefined
+        # at entry): every later slot content is fetched cache rows — finite
+        # by construction (cache pools are zeros-initialized and stores mask
+        # NaN pad rows) — so per-program V masking is unnecessary (p is
+        # exactly 0 past `length` because s is NEG_INF-masked there, and
+        # 0 x finite = 0; only 0 x NaN would poison the PV dot).
+        kv_buf[...] = jnp.zeros_like(kv_buf)
         fetch(b, h, slot, wait=False)
 
     # Prefetch the NEXT program's context while this one computes.
@@ -572,7 +579,9 @@ def _decode_kernel_resident(
     # head). Results land in an s scratch; the softmax runs once at the end.
     GSZ = GP * page_size
     NGR = CTX // GSZ
-    s_buf[...] = jnp.full_like(s_buf, NEG_INF)
+    # No NEG_INF prefill: rows < length are always written by the guarded
+    # dots below (the guard is group-granular), and the kpos mask replaces
+    # everything >= length with NEG_INF regardless of scratch contents.
     for g in range(NGR):
         @pl.when(g * GSZ < length)
         def _():
@@ -597,10 +606,11 @@ def _decode_kernel_resident(
     p = jnp.exp2(s - m)
     p_self = jnp.exp2(s_self - m)
     l = jnp.sum(p, axis=-1, keepdims=True) + p_self
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (CTX, 1), 0)
-    v_tile = jnp.where(
-        vrow < length, _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype), 0
-    )
+    # V is used UNMASKED: p is exactly 0 for every row >= length, and ring
+    # contents are finite (zeroed at program 0; afterwards always fetched
+    # cache rows) — dropping the [CTX, D] select saves a full V copy through
+    # the VPU per program.
+    v_tile = _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype)
     acc = jax.lax.dot(
         p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
     )  # [G, D] — contraction-dim streaming pipelines
@@ -689,6 +699,14 @@ def _decode_kernel(
                     def _():
                         page_dma(slot, i, j).wait()
 
+        @pl.when(b * pl.num_programs(1) + h == 0)
+        def _():
+            # Zero the ring once per dispatch: scratch VMEM is undefined at
+            # entry; afterwards every slot row is either a fetched cache row
+            # (finite by construction) or a stale one from a previous group —
+            # so the V tile needs no per-group mask (p is 0 past `length`).
+            kv_buf[...] = jnp.zeros_like(kv_buf)
+
         start_group(0, 0)
 
         def body(i, carry):
@@ -715,14 +733,10 @@ def _decode_kernel(
             p = jnp.exp2(s - m_new)
             corr = jnp.exp2(m_prev - m_new)
             l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-            # Zero un-fetched V lanes: their probability is 0, but the buffer
-            # may hold NaN garbage before its first DMA, and 0 * NaN = NaN.
-            vrow = i * GP * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, (GP * page_size, 1), 0
-            )
-            v_tile = jnp.where(
-                vrow < length, _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype), 0
-            )
+            # Un-fetched V lanes need no mask: their probability is exactly 0
+            # (s NEG_INF-masked) and ring contents are always finite (zeroed
+            # at program 0; afterwards fetched cache rows).
+            v_tile = _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype)
             acc = acc * corr + jax.lax.dot(
                 p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
             )
