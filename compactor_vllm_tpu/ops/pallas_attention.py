@@ -462,9 +462,9 @@ def _decode_kernel_resident(
     vn_ref,  # [Bd, H, 1, D] VMEM
     kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
-    kv_buf,  # [2, CTX, 2D] whole per-(b,h) interleaved K/V
+    kv_buf,  # [NS, CTX, 2D] whole per-(b,h) interleaved K/V ring
     s_buf,  # [G, CTX] f32 QK logits scratch
-    sems,  # DMA [2, NG, 2]
+    sems,  # DMA [NS, NG, 2]
     *,
     sm_scale: float,
     page_size: int,
@@ -549,25 +549,35 @@ def _decode_kernel_resident(
         jax.lax.fori_loop(0, ngroups, body, 0)
 
     idx = b * H + h
-    slot = jax.lax.rem(idx, 2)
+    NS = kv_buf.shape[0]  # ring slots; prefetch depth = NS - 1
+    slot = jax.lax.rem(idx, NS)
 
     @pl.when(idx == 0)
     def _():
-        # Zero both ring slots ONCE per dispatch (scratch VMEM is undefined
+        # Zero every ring slot ONCE per dispatch (scratch VMEM is undefined
         # at entry): every later slot content is fetched cache rows — finite
         # by construction (cache pools are zeros-initialized and stores mask
         # NaN pad rows) — so per-program V masking is unnecessary (p is
         # exactly 0 past `length` because s is NEG_INF-masked there, and
         # 0 x finite = 0; only 0 x NaN would poison the PV dot).
         kv_buf[...] = jnp.zeros_like(kv_buf)
+        # Prime the pipeline: own fetch + the first NS-2 lookaheads (the
+        # steady-state lookahead of idx + NS - 1 is issued below). NS and
+        # the grid are static, so the loop and bound resolve at trace time.
         fetch(b, h, slot, wait=False)
+        for d in range(1, NS - 1):
+            if d < Bd * H:
+                fetch(d // H, d % H, d % NS, wait=False)
 
-    # Prefetch the NEXT program's context while this one computes.
-    @pl.when(idx + 1 < Bd * H)
+    # Prefetch a LATER program's context while this one computes: depth
+    # NS - 1 keeps that many page fetches in flight, covering DMA issue
+    # latency when per-program compute is shorter than its fetch.
+    @pl.when(idx + NS - 1 < Bd * H)
     def _():
-        nb = (idx + 1) // H
-        nh = jax.lax.rem(idx + 1, H)
-        fetch(nb, nh, 1 - slot, wait=False)
+        nxt = idx + NS - 1
+        nb = nxt // H
+        nh = jax.lax.rem(nxt, H)
+        fetch(nb, nh, jax.lax.rem(nxt, NS), wait=False)
 
     fetch(b, h, slot, wait=True)
 
@@ -804,14 +814,18 @@ def paged_decode_attention(
     resident = maxp * page_size <= DECODE_RESIDENT_TOKENS
     if resident:
         ctx = ng * group_pages * page_size
+        # Ring depth: keep NS - 1 programs' page fetches in flight (DMA
+        # issue latency cover), bounded by an ~8 MB VMEM ring budget.
+        slot_bytes = ctx * 2 * D * jnp.dtype(kv_pages.dtype).itemsize
+        ns = int(max(2, min(4, (8 << 20) // max(slot_bytes, 1))))
         kernel = functools.partial(
             _decode_kernel_resident, sm_scale=sm_scale, page_size=page_size,
             group=G, group_pages=group_pages,
         )
         scratch = [
-            pltpu.VMEM((2, ctx, 2 * D), kv_pages.dtype),
+            pltpu.VMEM((ns, ctx, 2 * D), kv_pages.dtype),
             pltpu.VMEM((G, ctx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ng, 2)),
+            pltpu.SemaphoreType.DMA((ns, ng, 2)),
         ]
     else:
         kernel = functools.partial(
