@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+# KV cache dtype for the engines built by _build (VERDICT r2 #8: the smoke
+# must also exercise fp8 KV on the real chip).
+KV_DTYPE = "auto"
+
 
 def _build(spec_mod, params, prompts, backend, compress):
     import jax.numpy as jnp  # noqa: F401
@@ -47,6 +51,7 @@ def _build(spec_mod, params, prompts, backend, compress):
         kvcache_page_size=64, num_kv_pages=128, eos=-1, seed=0,
         attention_backend=backend, decode_loop_steps=8,
         prefill_token_buckets=(1024,), decode_batch_buckets=(2,),
+        kv_cache_dtype=KV_DTYPE,
     )
     eng = LLMEngine(cfg, spec=spec_mod, params=params, tokenizer=None)
     comp = (
@@ -167,6 +172,52 @@ def run_parity_smoke(log=print) -> bool:
     else:
         log(f"  compressed: first tokens differ: {first}")
         ok = False
+
+    # --- 3. fp8 KV cache parity (VERDICT r2 #8): both backends read the
+    # same lossily-stored cache, so greedy tokens must still track.
+    global KV_DTYPE
+    KV_DTYPE = "fp8"
+    try:
+        pal, _ = _build(spec, params, prompts, AttentionBackend.PALLAS, False)
+        ref, _ = _build(spec, params, prompts, AttentionBackend.REFERENCE, False)
+    finally:
+        KV_DTYPE = "auto"
+    for i, (a, b) in enumerate(zip(pal, ref)):
+        common = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            common += 1
+        log(f"  fp8 KV seq {i}: PALLAS==REFERENCE for {common}/{len(a)} tokens")
+        if common < 8:
+            log(f"    PALLAS    : {a}")
+            log(f"    REFERENCE : {b}")
+            ok = False
+
+    # --- 4. ring decode path (VERDICT r2 #8): force the grouped page-walk
+    # kernel (normally ctx > 8K) at this small geometry by lowering the
+    # resident cutoff — exercises its DMA ring + online-softmax chain on the
+    # real chip without a 9K-token prefill compile.
+    from compactor_vllm_tpu.ops import pallas_attention as pa
+
+    saved = pa.DECODE_RESIDENT_TOKENS
+    pa.DECODE_RESIDENT_TOKENS = 256  # < max_model_len -> ring kernel
+    try:
+        pal, _ = _build(spec, params, prompts, AttentionBackend.PALLAS, False)
+        ref, _ = _build(spec, params, prompts, AttentionBackend.REFERENCE, False)
+    finally:
+        pa.DECODE_RESIDENT_TOKENS = saved
+    for i, (a, b) in enumerate(zip(pal, ref)):
+        common = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            common += 1
+        log(f"  ring decode seq {i}: PALLAS==REFERENCE for {common}/{len(a)} tokens")
+        if common < 8:
+            log(f"    PALLAS    : {a}")
+            log(f"    REFERENCE : {b}")
+            ok = False
     return ok
 
 

@@ -115,6 +115,18 @@ def test_tp2_with_compression_runs():
             ),
         )
     ]
+    # The decode-block append must engage under tp too (page-aligned retained
+    # lens via pad_retained_to_page; dec_blk's shard axis feeds shard_map).
+    installed = []
+    orig = eng.runner.alloc.alloc_decode_blocks
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        if out is not None:
+            installed.append(1)
+        return out
+
+    eng.runner.alloc.alloc_decode_blocks = spy
     outs = eng.generate_from_sequences(
         seqs,
         BatchCompressionParams(
@@ -122,6 +134,7 @@ def test_tp2_with_compression_runs():
         ),
     )
     assert len(outs[0].completion_token_ids) == 4
+    assert installed, "decode-block path never attempted under tp"
     eng.runner.alloc.check_invariants()
 
 
