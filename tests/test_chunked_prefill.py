@@ -208,3 +208,43 @@ def test_chunked_prefill_under_dp2_matches_single_shot():
     got = eng.generate_from_sequences(prompts(lens, spec.vocab_size))
     for a, b in zip(ref, got):
         assert a.completion_token_ids == b.completion_token_ids
+
+
+def test_chunked_compressed_decode_uses_blocks_and_matches_fallback():
+    """After a chunked compressed prefill (pad-to-page keeps every head
+    page-aligned), the final-chunk reclaim installs decode blocks; greedy
+    tokens must match the row-scatter fallback exactly."""
+    from compactor_vllm_tpu.config import SequenceCompressionParams
+
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lens = [150, 97]
+    cp = SequenceCompressionParams(
+        compression_ratio=0.5, protected_first_tokens=2,
+        protected_last_tokens=4,
+    )
+    bp = BatchCompressionParams(
+        compression_method=CompressionMethod.COMPACTOR, chunk_size=16
+    )
+    eng = make_engine(spec, params, "pallas", chunked=True, budget=64)
+    installed = []
+    orig = eng.runner.alloc.alloc_decode_blocks
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        if out is not None:
+            installed.append(1)
+        return out
+
+    eng.runner.alloc.alloc_decode_blocks = spy
+    got = eng.generate_from_sequences(prompts(lens, spec.vocab_size, cp=cp), bp)
+    assert installed, "chunked compressed prefill never installed decode blocks"
+
+    ref_eng = make_engine(spec, params, "pallas", chunked=True, budget=64)
+    ref_eng.cfg.decode_block_append = False
+    ref = ref_eng.generate_from_sequences(
+        prompts(lens, spec.vocab_size, cp=cp), bp
+    )
+    for a, b in zip(got, ref):
+        assert a.completion_token_ids == b.completion_token_ids
+    eng.runner.alloc.check_invariants()
