@@ -880,6 +880,15 @@ class ModelRunner:
             lens = np.asarray(self.cache.bh_lens[:, gslots])
         page = self.geom.page_size
         updates = []
+        # Phase 1: shrink every sequence (freeing ALL reclaimed + headroom
+        # pages first maximizes the aligned runs available to phase 2), and
+        # collect decode-block requests: when every retained length is
+        # page-aligned (pad_retained_to_page), the generic headroom pages
+        # are swapped for aligned decode blocks — the fused decode loop then
+        # appends via L*Bd [H, 2D] windows instead of L*Bd*H row scatters
+        # (store_decode_blocks). Page count is unchanged.
+        requests = []
+        req_meta = []  # (seq, sl, headroom) parallel to requests
         for i, s in enumerate(seqs):
             # Mid-prompt chunks keep headroom for the REST of the prompt on
             # top of generation (progressive reclaim: pages already saved by
@@ -887,11 +896,6 @@ class ModelRunner:
             remaining_prompt = s.num_prompt_tokens - s.num_prefilled_tokens
             headroom = s.sampling_params.max_new_tokens + remaining_prompt
             sl = lens[:, i, :]
-            # Decode entry: when every retained length is page-aligned
-            # (pad_retained_to_page), swap the generic headroom pages for
-            # aligned decode blocks — the fused decode loop then appends via
-            # L*Bd [H, 2D] windows instead of L*Bd*H row scatters
-            # (store_decode_blocks). Page count is unchanged.
             if (
                 remaining_prompt == 0
                 and self.cfg.decode_block_append
@@ -900,26 +904,31 @@ class ModelRunner:
             ):
                 alloc.shrink(s.seq_id, sl)
                 nblk = cdiv(s.sampling_params.max_new_tokens, page)
-                blocks = alloc.alloc_decode_blocks(
-                    s.seq_id, nblk, (sl // page).astype(np.int64)
+                requests.append(
+                    (s.seq_id, nblk, (sl // page).astype(np.int64))
                 )
-                if blocks is None:  # fragmented/over-wide: restore headroom
-                    # The re-grown pages may be distributed differently than
-                    # the rows the device table holds (LIFO churn) — refresh.
-                    alloc.grow_per_head(s.seq_id, sl + headroom)
-                    updates.append(SlotUpdate(
-                        slot=alloc.slot_of_seq[s.seq_id],
-                        num_cols=cdiv(int(sl.max()) + headroom, page),
-                    ))
-                else:
-                    updates.append(SlotUpdate(
-                        slot=alloc.slot_of_seq[s.seq_id],
-                        num_cols=int(sl.max()) // page + nblk,
-                    ))
+                req_meta.append((s, sl, headroom))
             else:
                 alloc.shrink(s.seq_id, sl + headroom)
             if remaining_prompt == 0:
                 s.max_head_len = int(sl.max())
+        # Phase 2: one batched block allocation (bitmap built once).
+        for (blocks, (seq_id, nblk, _), (s, sl, headroom)) in zip(
+            alloc.alloc_decode_blocks_batch(requests), requests, req_meta
+        ):
+            if blocks is None:  # fragmented/over-wide: restore headroom.
+                # The re-grown pages may be distributed differently than
+                # the rows the device table holds (LIFO churn) — refresh.
+                alloc.grow_per_head(seq_id, sl + headroom)
+                updates.append(SlotUpdate(
+                    slot=alloc.slot_of_seq[seq_id],
+                    num_cols=cdiv(int(sl.max()) + headroom, page),
+                ))
+            else:
+                updates.append(SlotUpdate(
+                    slot=alloc.slot_of_seq[seq_id],
+                    num_cols=int(sl.max()) // page + nblk,
+                ))
         # Freshly installed block pages must reach the device table before
         # the next decode dispatch reads/appends through them.
         self.sync_page_table(updates, group=group)

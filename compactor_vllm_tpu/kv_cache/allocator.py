@@ -180,48 +180,76 @@ class PageAllocator:
         would exceed max_pages_per_head — callers fall back to per-head pages
         + the row-scatter append.
         """
-        hs = self.heads_per_shard
-        slot = self.slot_of_seq[seq_id]
-        if nblk <= 0:
-            return np.zeros((self.L, self.S, 0), np.int32)
-        if int(start_cols.max()) + nblk > self.max_pages_per_head:
-            return None
-        # Pass 1: find candidate aligned runs everywhere (no mutation).
-        cand = np.zeros((self.L, self.S, nblk), np.int32)
-        for l in range(self.L):
-            for s in range(self.S):
-                cnt = int(self.free_count[l, s])
-                free_ids = self.free[l, s, :cnt]
-                bitmap = np.zeros(self.P, bool)
-                bitmap[free_ids] = True
-                grp = np.flatnonzero(bitmap.reshape(-1, hs).all(axis=1))
-                if grp.size < nblk:
-                    return None
-                # Prefer low ids: prefill reservations pop from the stack
-                # TOP (high end / recently freed churn zone), so low groups
-                # survive longest and taking them preserves the top-of-stack
-                # contiguous runs that prefill's grouped DMAs rely on.
-                cand[l, s] = grp[:nblk].astype(np.int32) * hs
-        # Pass 2: commit — remove pages from the stacks, install the table.
-        for l in range(self.L):
-            for s in range(self.S):
-                pages = (cand[l, s][:, None] + np.arange(hs)).ravel()
-                cnt = int(self.free_count[l, s])
-                keep = self.free[l, s, :cnt][
-                    ~np.isin(self.free[l, s, :cnt], pages)
-                ]
-                self.free[l, s, : keep.size] = keep
-                self.free_count[l, s] = keep.size
-                for hl in range(hs):
-                    h = s * hs + hl
-                    cols = start_cols[l, h] + np.arange(nblk)
-                    self.page_table[l, slot, h, cols] = cand[l, s] + hl
-                    self.num_pages[l, slot, h] = start_cols[l, h] + nblk
-        self.peak_used_pages = max(
-            self.peak_used_pages, int(self.P - self.free_count.min())
-        )
-        self.decode_blocks[seq_id] = cand
-        return cand
+        return self.alloc_decode_blocks_batch([(seq_id, nblk, start_cols)])[0]
+
+    def alloc_decode_blocks_batch(
+        self, requests: list[tuple[int, int, np.ndarray]]
+    ) -> list[np.ndarray | None]:
+        """Batch form of `alloc_decode_blocks`: the free-id bitmap and
+        aligned-group availability are built ONCE for the whole reclaim
+        batch (the per-seq rebuild was ~3.5 ms of host time — it would have
+        eaten the decode win at 32+ live sequences), claims update them
+        incrementally, and each free stack is compacted once at the end."""
+        if not requests:
+            return []
+        hs, L, S, P = self.heads_per_shard, self.L, self.S, self.P
+        # Free-id bitmap + fully-free aligned hs-groups, built once.
+        valid = np.arange(self.free.shape[-1]) < self.free_count[..., None]
+        li, si, ii = np.nonzero(valid)
+        bitmap = np.zeros((L, S, P), bool)
+        bitmap[li, si, self.free[li, si, ii]] = True
+        grp_ok = bitmap.reshape(L, S, P // hs, hs).all(axis=3)  # [L, S, NG]
+        grp_free = grp_ok.sum(axis=2)  # [L, S] running availability
+        results: list[np.ndarray | None] = []
+        touched = False
+        for seq_id, nblk, start_cols in requests:
+            if nblk <= 0:
+                results.append(np.zeros((L, S, 0), np.int32))
+                continue
+            if (
+                int(start_cols.max()) + nblk > self.max_pages_per_head
+                or int(grp_free.min()) < nblk
+            ):
+                results.append(None)
+                continue
+            slot = self.slot_of_seq[seq_id]
+            # Prefer low ids: prefill reservations pop from the stack TOP
+            # (high end / recently freed churn zone), so low groups survive
+            # longest and taking them preserves the top-of-stack contiguous
+            # runs that prefill's grouped DMAs rely on. Stable argsort of
+            # ~grp_ok yields the ascending True positions first.
+            order = np.argsort(~grp_ok, axis=2, kind="stable")[:, :, :nblk]
+            cand = (order * hs).astype(np.int32)  # [L, S, nblk] first pages
+            np.put_along_axis(grp_ok, order, False, axis=2)
+            grp_free -= nblk
+            bitmap[
+                np.repeat(np.arange(L), S * nblk * hs),
+                np.tile(np.repeat(np.arange(S), nblk * hs), L),
+                (cand[..., None] + np.arange(hs)).reshape(L, S, -1).ravel(),
+            ] = False
+            touched = True
+            # Install the page table for every (layer, head) at once.
+            heads = np.arange(self.H)
+            pages = cand[:, heads // hs] + (heads % hs)[None, :, None]
+            cols = start_cols[:, :, None] + np.arange(nblk)  # [L, H, nblk]
+            np.put_along_axis(self.page_table[:, slot], cols, pages, axis=2)
+            self.num_pages[:, slot] = start_cols + nblk
+            self.decode_blocks[seq_id] = cand
+            results.append(cand)
+        if touched:
+            # Compact each free stack once against the final bitmap (order
+            # within each stack is preserved).
+            for l in range(L):
+                for s in range(S):
+                    cnt = int(self.free_count[l, s])
+                    ids = self.free[l, s, :cnt]
+                    keep = ids[bitmap[l, s, ids]]
+                    self.free[l, s, : keep.size] = keep
+                    self.free_count[l, s] = keep.size
+            self.peak_used_pages = max(
+                self.peak_used_pages, int(self.P - self.free_count.min())
+            )
+        return results
 
     def shrink(self, seq_id: int, keep_tokens: np.ndarray) -> None:
         """Return surplus pages to the pools, keeping capacity for

@@ -228,15 +228,14 @@ def test_chunked_compressed_decode_uses_blocks_and_matches_fallback():
     )
     eng = make_engine(spec, params, "pallas", chunked=True, budget=64)
     installed = []
-    orig = eng.runner.alloc.alloc_decode_blocks
+    orig = eng.runner.alloc.alloc_decode_blocks_batch
 
-    def spy(*a, **kw):
-        out = orig(*a, **kw)
-        if out is not None:
-            installed.append(1)
-        return out
+    def spy(reqs):
+        outs = orig(reqs)
+        installed.extend(1 for o in outs if o is not None)
+        return outs
 
-    eng.runner.alloc.alloc_decode_blocks = spy
+    eng.runner.alloc.alloc_decode_blocks_batch = spy
     got = eng.generate_from_sequences(prompts(lens, spec.vocab_size, cp=cp), bp)
     assert installed, "chunked compressed prefill never installed decode blocks"
 

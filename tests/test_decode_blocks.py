@@ -166,7 +166,9 @@ def test_engine_block_alloc_failure_falls_back_cleanly():
         return engine.generate_from_sequences(seqs, batch_compression=bp)
 
     engine = make_engine((cfg, hf))
-    engine.runner.alloc.alloc_decode_blocks = lambda *a, **kw: None
+    engine.runner.alloc.alloc_decode_blocks_batch = (
+        lambda reqs: [None] * len(reqs)
+    )
     outs = gen(engine)
     engine.runner.alloc.check_invariants()
 
@@ -199,15 +201,14 @@ def test_engine_block_append_greedy_parity(block_append):
     engine = make_engine((cfg, hf), decode_block_append=block_append)
 
     calls = {"installed": 0}
-    orig = engine.runner.alloc.alloc_decode_blocks
+    orig = engine.runner.alloc.alloc_decode_blocks_batch
 
-    def spy(*a, **kw):
-        out = orig(*a, **kw)
-        if out is not None:
-            calls["installed"] += 1
-        return out
+    def spy(reqs):
+        outs = orig(reqs)
+        calls["installed"] += sum(1 for o in outs if o is not None)
+        return outs
 
-    engine.runner.alloc.alloc_decode_blocks = spy
+    engine.runner.alloc.alloc_decode_blocks_batch = spy
 
     rng = np.random.default_rng(5)
     prompts = [rng.integers(1, 128, size=n).tolist() for n in (40, 33)]

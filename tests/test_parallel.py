@@ -118,15 +118,14 @@ def test_tp2_with_compression_runs():
     # The decode-block append must engage under tp too (page-aligned retained
     # lens via pad_retained_to_page; dec_blk's shard axis feeds shard_map).
     installed = []
-    orig = eng.runner.alloc.alloc_decode_blocks
+    orig = eng.runner.alloc.alloc_decode_blocks_batch
 
-    def spy(*a, **kw):
-        out = orig(*a, **kw)
-        if out is not None:
-            installed.append(1)
-        return out
+    def spy(reqs):
+        outs = orig(reqs)
+        installed.extend(1 for o in outs if o is not None)
+        return outs
 
-    eng.runner.alloc.alloc_decode_blocks = spy
+    eng.runner.alloc.alloc_decode_blocks_batch = spy
     outs = eng.generate_from_sequences(
         seqs,
         BatchCompressionParams(
