@@ -629,6 +629,154 @@ def _decode_kernel_resident(
     o_ref[b, h] = out.astype(o_ref.dtype)
 
 
+# Pairs per grid program for the multi-pair resident kernel: amortizes
+# per-program sequencing overhead and keeps PP page fetches in flight at
+# once. 0/1 selects the single-pair kernel. A/B knob for the bench.
+DECODE_PAIRS_PER_PROGRAM = 4
+
+
+def _decode_kernel_resident_multi(
+    lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
+    pt_ref,  # [Bd, H, maxp] i32
+    contig_ref,  # [Bd, H, NG] i32 contiguous-run group flags
+    base_ref,  # [1] i32
+    q_ref,  # [Bd, H, G, D] VMEM
+    kn_ref,  # [Bd, H, 1, D] VMEM
+    vn_ref,  # [Bd, H, 1, D] VMEM
+    kvp_hbm,
+    o_ref,  # [Bd, H, G, D] VMEM
+    kv_buf,  # [2, PP, CTX, 2D] ring: PP pairs per program, double-buffered
+    s_buf,  # [G, CTX] f32 QK logits scratch (reused across pairs)
+    sems,  # DMA [2, PP, NG]
+    *,
+    sm_scale: float,
+    page_size: int,
+    group: int,
+    group_pages: int,
+    pairs: int,
+):
+    """Multi-pair variant of `_decode_kernel_resident`: each grid program
+    owns PP consecutive (b, h) pairs — one program-sequencing overhead and
+    PP parallel context fetches per PP attention computations, instead of
+    per one. Identical math per pair."""
+    prog = pl.program_id(0)
+    NPROG = pl.num_programs(0)
+    Bd, H = lens_ref.shape
+    G, GP, PP = group, group_pages, pairs
+    D = q_ref.shape[-1]
+    CTX = kv_buf.shape[2]
+    base = base_ref[0]
+    scale = sm_scale * LOG2E
+
+    def fetch(pair, slot, wait):
+        """Start (or wait for) the page-group DMAs of global pair index
+        `pair` into (slot, pair % PP). Waits recreate identical descriptors
+        (standard Pallas cross-program prefetch pattern)."""
+        bb = pair // H
+        hh = jax.lax.rem(pair, H)
+        pp = jax.lax.rem(pair, PP)  # pairs are consecutive per program
+        length = lens_ref[bb, hh]
+        npages = pl.cdiv(length, page_size)
+        ngroups = pl.cdiv(npages, GP)
+
+        def run_copies(g):
+            row = pl.multiple_of(
+                base + pt_ref[bb, hh, g * GP] * page_size, page_size
+            )
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, GP * page_size), :],
+                kv_buf.at[slot, pp, pl.ds(g * GP * page_size, GP * page_size), :],
+                sems.at[slot, pp, g],
+            )
+
+        def page_copies(g, j):
+            row = pl.multiple_of(
+                base + pt_ref[bb, hh, g * GP + j] * page_size, page_size
+            )
+            return pltpu.make_async_copy(
+                kvp_hbm.at[pl.ds(row, page_size), :],
+                kv_buf.at[slot, pp, pl.ds((g * GP + j) * page_size, page_size), :],
+                sems.at[slot, pp, g],
+            )
+
+        def body(g, _):
+            is_run = (contig_ref[bb, hh, g] != 0) & ((g + 1) * GP <= npages)
+
+            @pl.when(is_run)
+            def _():
+                d = run_copies(g)
+                d.wait() if wait else d.start()
+
+            @pl.when(jnp.logical_not(is_run))
+            def _():
+                for j in range(GP):
+                    @pl.when(g * GP + j < npages)
+                    def _():
+                        d = page_copies(g, j)
+                        d.wait() if wait else d.start()
+
+            return 0
+
+        jax.lax.fori_loop(0, ngroups, body, 0)
+
+    slot = jax.lax.rem(prog, 2)
+
+    @pl.when(prog == 0)
+    def _():
+        # Zero the ring once per dispatch — see _decode_kernel_resident.
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+        for p in range(PP):
+            fetch(p, slot, wait=False)
+
+    @pl.when(prog + 1 < NPROG)
+    def _():
+        for p in range(PP):
+            fetch((prog + 1) * PP + p, 1 - slot, wait=False)
+
+    for p in range(PP):
+        fetch(prog * PP + p, slot, wait=True)
+
+    GSZ = GP * page_size
+    NGR = CTX // GSZ
+    for p in range(PP):
+        pair = prog * PP + p
+        b = pair // H
+        h = jax.lax.rem(pair, H)
+        q = q_ref[b, h]  # [G, D]
+        length = lens_ref[b, h]
+        for g in range(NGR):
+            @pl.when(g * GSZ < length)
+            def _(g=g):
+                k_g = _upcast_tile(
+                    kv_buf[slot, p, pl.ds(g * GSZ, GSZ), pl.ds(0, D)], q.dtype
+                )
+                s_buf[:, pl.ds(g * GSZ, GSZ)] = jax.lax.dot_general(
+                    q, k_g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+
+        s = s_buf[...]  # [G, CTX]
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (G, CTX), 1)
+        s = jnp.where(kpos < length, s, NEG_INF)
+        k_self = kn_ref[b, h]
+        v_self = vn_ref[b, h]
+        s_self = jnp.sum(
+            q.astype(jnp.float32) * k_self.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        ) * scale
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+        pw = jnp.exp2(s - m)
+        p_self = jnp.exp2(s_self - m)
+        l = jnp.sum(pw, axis=-1, keepdims=True) + p_self
+        v_tile = _upcast_tile(kv_buf[slot, p, :, pl.ds(D, D)], q.dtype)
+        acc = jax.lax.dot(
+            pw.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
+        )
+        acc = acc + p_self * v_self.astype(jnp.float32)
+        out = acc / jnp.where(l > 0, l, 1.0)
+        o_ref[b, h] = out.astype(o_ref.dtype)
+
+
 def _decode_kernel(
     lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
@@ -812,21 +960,40 @@ def paged_decode_attention(
     kn_hm = k_new[:, :, None, :]  # [Bd, H, 1, D]
     vn_hm = v_new[:, :, None, :]
     resident = maxp * page_size <= DECODE_RESIDENT_TOKENS
+    grid = (Bd, H)
     if resident:
         ctx = ng * group_pages * page_size
-        # Ring depth: keep NS - 1 programs' page fetches in flight (DMA
-        # issue latency cover), bounded by an ~8 MB VMEM ring budget.
         slot_bytes = ctx * 2 * D * jnp.dtype(kv_pages.dtype).itemsize
-        ns = int(max(2, min(4, (8 << 20) // max(slot_bytes, 1))))
-        kernel = functools.partial(
-            _decode_kernel_resident, sm_scale=sm_scale, page_size=page_size,
-            group=G, group_pages=group_pages,
-        )
-        scratch = [
-            pltpu.VMEM((ns, ctx, 2 * D), kv_pages.dtype),
-            pltpu.VMEM((G, ctx), jnp.float32),
-            pltpu.SemaphoreType.DMA((ns, ng, 2)),
-        ]
+        pp = DECODE_PAIRS_PER_PROGRAM
+        if (
+            pp > 1
+            and (Bd * H) % pp == 0
+            and 2 * pp * slot_bytes <= (8 << 20)
+        ):
+            grid = ((Bd * H) // pp,)
+            kernel = functools.partial(
+                _decode_kernel_resident_multi, sm_scale=sm_scale,
+                page_size=page_size, group=G, group_pages=group_pages,
+                pairs=pp,
+            )
+            scratch = [
+                pltpu.VMEM((2, pp, ctx, 2 * D), kv_pages.dtype),
+                pltpu.VMEM((G, ctx), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, pp, ng)),
+            ]
+        else:
+            # Ring depth: keep NS - 1 programs' page fetches in flight (DMA
+            # issue latency cover), bounded by an ~8 MB VMEM ring budget.
+            ns = int(max(2, min(4, (8 << 20) // max(slot_bytes, 1))))
+            kernel = functools.partial(
+                _decode_kernel_resident, sm_scale=sm_scale,
+                page_size=page_size, group=G, group_pages=group_pages,
+            )
+            scratch = [
+                pltpu.VMEM((ns, ctx, 2 * D), kv_pages.dtype),
+                pltpu.VMEM((G, ctx), jnp.float32),
+                pltpu.SemaphoreType.DMA((ns, ng, 2)),
+            ]
     else:
         kernel = functools.partial(
             _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G,
@@ -838,7 +1005,7 @@ def paged_decode_attention(
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(Bd, H),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -857,7 +1024,7 @@ def paged_decode_attention(
         # race the resident kernel's cross-program prefetch on dual-core
         # parts — keep sequential semantics (NOTES.md round 2).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
         ),
         interpret=interpret,
     )(

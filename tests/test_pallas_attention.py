@@ -229,7 +229,13 @@ def test_prefill_fused_chunk_scores_vs_oracle(seq_lens, HQ):
 
 @pytest.mark.parametrize("HQ", [4, 8, 16])
 @pytest.mark.parametrize("use_contig", [False, True])
-def test_decode_kernel_vs_oracle(HQ, use_contig):
+@pytest.mark.parametrize("pairs", [1, 4])
+def test_decode_kernel_vs_oracle(HQ, use_contig, pairs, monkeypatch):
+    # Bd*H = 12 divides by 4, so pairs=4 exercises the multi-pair resident
+    # kernel and pairs=1 forces the single-pair one — both vs the oracle.
+    import compactor_vllm_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "DECODE_PAIRS_PER_PROGRAM", pairs)
     rng = np.random.default_rng(1)
     B, H, D = 3, GEOM.num_kv_heads, GEOM.head_dim
     # Long enough that 8-page contiguous groups exist (page size 8 -> 64+).
