@@ -37,6 +37,7 @@ overwritten — except past the final sequence, which is why callers must leave
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -631,8 +632,9 @@ def _decode_kernel_resident(
 
 # Pairs per grid program for the multi-pair resident kernel: amortizes
 # per-program sequencing overhead and keeps PP page fetches in flight at
-# once. 0/1 selects the single-pair kernel. A/B knob for the bench.
-DECODE_PAIRS_PER_PROGRAM = 4
+# once. 0/1 selects the single-pair kernel. Env-overridable for on-chip
+# A/B (CVT_DECODE_PAIRS=1 python benchmarks/bench_kernels.py).
+DECODE_PAIRS_PER_PROGRAM = int(os.environ.get("CVT_DECODE_PAIRS", "4"))
 
 
 def _decode_kernel_resident_multi(
