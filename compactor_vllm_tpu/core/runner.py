@@ -933,6 +933,49 @@ class ModelRunner:
         # the next decode dispatch reads/appends through them.
         self.sync_page_table(updates, group=group)
 
+    def install_decode_blocks_uncompressed(self, seqs, group: int = 0) -> None:
+        """Decode-entry block install for UNCOMPRESSED sequences: their
+        cached lengths are uniform (= prompt length, known host-side — no
+        device readback), so when the prompt is page-aligned the same swap
+        of headroom pages for aligned decode blocks applies (see
+        reclaim_after_compression) and the fused decode loop gets the
+        window-scatter append."""
+        if not (self.cfg.decode_block_append and self.geom.blocks_aligned):
+            return
+        alloc = self.allocs[group]
+        page = self.geom.page_size
+        requests, req_meta = [], []
+        for s in seqs:
+            if (
+                s.num_prefilled_tokens < s.num_prompt_tokens
+                or s.num_prompt_tokens % page != 0
+            ):
+                continue
+            sl = np.full(
+                (self.geom.num_layers, self.geom.num_kv_heads),
+                s.num_prompt_tokens, np.int64,
+            )
+            alloc.shrink(s.seq_id, sl)
+            nblk = cdiv(s.sampling_params.max_new_tokens, page)
+            requests.append((s.seq_id, nblk, sl // page))
+            req_meta.append((s, sl, s.sampling_params.max_new_tokens))
+        updates = []
+        for (blocks, (seq_id, nblk, _), (s, sl, headroom)) in zip(
+            alloc.alloc_decode_blocks_batch(requests), requests, req_meta
+        ):
+            if blocks is None:
+                alloc.grow_per_head(seq_id, sl + headroom)
+                updates.append(SlotUpdate(
+                    slot=alloc.slot_of_seq[seq_id],
+                    num_cols=cdiv(int(sl.max()) + headroom, page),
+                ))
+            else:
+                updates.append(SlotUpdate(
+                    slot=alloc.slot_of_seq[seq_id],
+                    num_cols=int(sl.max()) // page + nblk,
+                ))
+        self.sync_page_table(updates, group=group)
+
     def _decode_group_arrays(self, seqs, group, b_pad, nblk_pad):
         alloc = self.allocs[group]
         geom = self.geom
@@ -1212,6 +1255,8 @@ class ModelRunner:
                 for gi, batch in enumerate(batches):
                     if compressing:
                         self.reclaim_after_compression(batch, group=gi)
+                    else:
+                        self.install_decode_blocks_uncompressed(batch, group=gi)
                     for s, t in zip(batch, g_tokens[gi]):
                         if s.num_prefilled_tokens < s.num_prompt_tokens:
                             continue  # mid-prompt chunk: no token sampled yet

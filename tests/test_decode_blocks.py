@@ -250,3 +250,44 @@ def test_engine_block_append_greedy_parity(block_append):
     outs2 = engine2.generate_from_sequences(seqs2, batch_compression=bp)
     assert toks == [o.completion_token_ids for o in outs2]
     engine.runner.alloc.check_invariants()
+
+
+def test_uncompressed_page_aligned_prompt_uses_blocks():
+    """Uncompressed sequences with page-aligned prompts also enter decode
+    through blocks (lens are uniform and known host-side); tokens match HF
+    and the row-scatter fallback."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from tests.test_engine_e2e import make_engine, hf_greedy
+    from compactor_vllm_tpu import SamplingParams, Sequence
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, torch_dtype=torch.float32,
+    )
+    hf = transformers.AutoModelForCausalLM.from_config(cfg)
+    hf.eval()
+    engine = make_engine((cfg, hf))
+    installed = []
+    orig = engine.runner.alloc.alloc_decode_blocks_batch
+
+    def spy(reqs):
+        outs = orig(reqs)
+        installed.extend(1 for o in outs if o is not None)
+        return outs
+
+    engine.runner.alloc.alloc_decode_blocks_batch = spy
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (24, 40)]
+    seqs = [
+        Sequence(p, sampling_params=SamplingParams(0.0, 8)) for p in prompts
+    ]
+    outs = engine.generate_from_sequences(seqs)
+    assert installed, "uncompressed aligned prompts never installed blocks"
+    for p, o in zip(prompts, outs):
+        assert o.completion_token_ids == hf_greedy(hf, p, 8)
+    engine.runner.alloc.check_invariants()
+    assert engine.runner.alloc.num_free_slots == engine.cfg.max_num_seqs
