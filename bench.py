@@ -26,6 +26,29 @@ def log(msg):
 
 
 def main():
+    # Fail FAST if the TPU claim is wedged (axon relay: a client killed
+    # mid-claim can hang every later process in PJRT init indefinitely —
+    # NOTES.md round 3). A bounded subprocess probe turns an indefinite
+    # hang into a clean JSON error the driver can record.
+    if "--skip-probe" not in sys.argv:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, check=True, capture_output=True,
+            )
+        except Exception as e:
+            print(json.dumps({
+                "metric": "ruler4k_throughput_qwen3_1.7b_compactor50",
+                "value": 0.0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+                "error": f"TPU device claim unavailable ({type(e).__name__})"
+                         " — relay wedged; see NOTES.md round-3 infra note",
+            }))
+            sys.exit(1)
+
     import jax.numpy as jnp
 
     from compactor_vllm_tpu import (
