@@ -227,3 +227,4 @@ if __name__ == "__main__":
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
     ok = run_parity_smoke(log=lambda m: print(m, file=sys.stderr))
     print({"parity_smoke": "ok" if ok else "FAILED"})
+    sys.exit(0 if ok else 1)

@@ -337,7 +337,6 @@ class ModelRunner:
             method=CompressionMethod.COMPACTOR,
             chunked=True,
             chunk_size=512,
-            topk_static=_pow2_bucket(self.cfg.max_model_len * H, 16),
             aligned=True,
             fused_postrope=self.attn.prefill_scored is not None,
             pad_to_page=(
@@ -414,9 +413,6 @@ class ModelRunner:
         from compactor_vllm_tpu.compression import get_method
         from compactor_vllm_tpu.ops.pallas_attention import _row_tile
 
-        max_retain = max(
-            s.effective_retain_budget(self.lspec.num_kv_heads) for s in seqs
-        )
         # Fused in-kernel postrope scoring requires chunk-aligned packing
         # whose alignment also covers the (scoring-sized) query tile.
         group = self.lspec.num_q_heads // self.lspec.num_kv_heads
@@ -432,7 +428,6 @@ class ModelRunner:
             method=bp.compression_method,
             chunked=bp.do_chunked_compression,
             chunk_size=bp.chunk_size,
-            topk_static=_pow2_bucket(max_retain, 16),
             aligned=True,  # run_prefill aligns starts to _start_align(bp)
             fused_postrope=fused,
             pad_to_page=(
@@ -913,12 +908,23 @@ class ModelRunner:
             if remaining_prompt == 0:
                 s.max_head_len = int(sl.max())
         # Phase 2: one batched block allocation (bitmap built once).
-        for (blocks, (seq_id, nblk, _), (s, sl, headroom)) in zip(
+        updates += self._install_blocks(alloc, requests, req_meta)
+        # Freshly installed block pages must reach the device table before
+        # the next decode dispatch reads/appends through them.
+        self.sync_page_table(updates, group=group)
+
+    def _install_blocks(self, alloc, requests, req_meta) -> list[SlotUpdate]:
+        """Batched decode-block install + per-seq fallback: sequences whose
+        pools lack aligned runs get their headroom pages re-grown (the
+        re-grown pages may be distributed differently than the rows the
+        device table holds — LIFO churn — so the fallback also needs a
+        device-table refresh)."""
+        page = self.geom.page_size
+        updates: list[SlotUpdate] = []
+        for (blocks, (seq_id, nblk, _), (_s, sl, headroom)) in zip(
             alloc.alloc_decode_blocks_batch(requests), requests, req_meta
         ):
             if blocks is None:  # fragmented/over-wide: restore headroom.
-                # The re-grown pages may be distributed differently than
-                # the rows the device table holds (LIFO churn) — refresh.
                 alloc.grow_per_head(seq_id, sl + headroom)
                 updates.append(SlotUpdate(
                     slot=alloc.slot_of_seq[seq_id],
@@ -929,9 +935,7 @@ class ModelRunner:
                     slot=alloc.slot_of_seq[seq_id],
                     num_cols=int(sl.max()) // page + nblk,
                 ))
-        # Freshly installed block pages must reach the device table before
-        # the next decode dispatch reads/appends through them.
-        self.sync_page_table(updates, group=group)
+        return updates
 
     def install_decode_blocks_uncompressed(self, seqs, group: int = 0) -> None:
         """Decode-entry block install for UNCOMPRESSED sequences: their
@@ -959,22 +963,9 @@ class ModelRunner:
             nblk = cdiv(s.sampling_params.max_new_tokens, page)
             requests.append((s.seq_id, nblk, sl // page))
             req_meta.append((s, sl, s.sampling_params.max_new_tokens))
-        updates = []
-        for (blocks, (seq_id, nblk, _), (s, sl, headroom)) in zip(
-            alloc.alloc_decode_blocks_batch(requests), requests, req_meta
-        ):
-            if blocks is None:
-                alloc.grow_per_head(seq_id, sl + headroom)
-                updates.append(SlotUpdate(
-                    slot=alloc.slot_of_seq[seq_id],
-                    num_cols=cdiv(int(sl.max()) + headroom, page),
-                ))
-            else:
-                updates.append(SlotUpdate(
-                    slot=alloc.slot_of_seq[seq_id],
-                    num_cols=int(sl.max()) // page + nblk,
-                ))
-        self.sync_page_table(updates, group=group)
+        self.sync_page_table(
+            self._install_blocks(alloc, requests, req_meta), group=group
+        )
 
     def _decode_group_arrays(self, seqs, group, b_pad, nblk_pad):
         alloc = self.allocs[group]
@@ -1221,6 +1212,11 @@ class ModelRunner:
             if sched.compressing:
                 cap = s.head_retention_cap(alloc.H)
                 if cap:
+                    if self.cfg.pad_retained_to_page:
+                        # Match schedule_prefill: pad-to-page can round
+                        # retention up past the cap.
+                        page = self.cfg.kvcache_page_size
+                        cap = -(-cap // page) * page
                     reserve_tokens = cap
             return alloc.can_reserve(
                 min(

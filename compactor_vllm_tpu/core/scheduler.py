@@ -123,6 +123,13 @@ class Scheduler:
                 if self.compressing:
                     cap = seq.head_retention_cap(self.alloc.H)
                     if cap:
+                        if self.cfg.pad_retained_to_page:
+                            # Pad-to-page may round each head's retention up
+                            # to the page boundary past the cap — reserve
+                            # the rounded amount or the store can outgrow
+                            # the reservation (pool-exhaustion assert).
+                            page = self.cfg.kvcache_page_size
+                            cap = -(-cap // page) * page
                         reserve_tokens = cap
                 total_len = min(
                     reserve_tokens + seq.sampling_params.max_new_tokens,
@@ -155,6 +162,24 @@ class Scheduler:
         # they are re-examined first as soon as capacity frees up.
         for s in reversed(skipped):
             self.waiting.appendleft(s)
+        # A mid-prefill (chunk-continuation) sequence must stay at the
+        # ABSOLUTE front: it is already admitted (slot + full reservation)
+        # and needs no capacity, but a bypassed sequence restored ahead of
+        # it could age into a barrier that then starves the continuation
+        # forever — its pages never free and the engine deadlocks.
+        if skipped:
+            # RUNNING-but-still-queued == mid-prefill (admitted at its first
+            # chunk; num_prefilled_tokens lags until the chunk executes).
+            cont = next(
+                (
+                    s for s in self.waiting
+                    if s.status == SequenceStatus.RUNNING
+                ),
+                None,
+            )
+            if cont is not None and self.waiting[0] is not cont:
+                self.waiting.remove(cont)
+                self.waiting.appendleft(cont)
         return batch, updates
 
     def finish(self, seq: Sequence) -> None:

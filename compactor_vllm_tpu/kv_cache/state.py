@@ -88,6 +88,21 @@ class KVCacheGeometry(NamedTuple):
         )
 
 
+def cast_to_cache(x: jax.Array, dtype) -> jax.Array:
+    """Saturating cast to the cache dtype.
+
+    XLA's float -> float8_e4m3fn conversion maps |x| > 448 to NaN (e4m3fn
+    has no inf encoding); clamping first keeps every stored byte finite.
+    The decode kernels RELY on this: they read V unmasked (rows past the
+    per-head length carry probability exactly 0, and 0 x finite == 0) and
+    `_upcast_tile` deliberately propagates 0x7F bytes as NaN. Without the
+    clamp, one out-of-range K/V value would poison its own sequence's
+    attention — and, through page recycling, other sequences' too."""
+    if jnp.dtype(dtype) == jnp.dtype("float8_e4m3fn"):
+        x = jnp.clip(x.astype(jnp.float32), -448.0, 448.0)
+    return x.astype(dtype)
+
+
 def init_kv_cache(geom: KVCacheGeometry, dtype=jnp.bfloat16) -> KVCacheState:
     return KVCacheState(
         kv_pages=jnp.zeros((geom.total_rows, 2 * geom.head_dim), dtype=dtype),
@@ -173,7 +188,8 @@ def store_prefill_full(
     # are unique. Without the hint XLA serializes the scatter.
     kv = jnp.concatenate(
         [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
-    ).astype(state.kv_pages.dtype)
+    )
+    kv = cast_to_cache(kv, state.kv_pages.dtype)
     kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
 
     new_lens = cached_lens + jnp.where(seq_valid, seq_lens, 0)[:, None]  # [Bp, H]
@@ -210,7 +226,8 @@ def store_prefill_sel(
     ).reshape(T * H)
     kv = jnp.concatenate(
         [k_new.reshape(T * H, D), v_new.reshape(T * H, D)], axis=-1
-    ).astype(state.kv_pages.dtype)
+    )
+    kv = cast_to_cache(kv, state.kv_pages.dtype)
     # unique_indices: see store_prefill_full (invalid lanes dropped OOB).
     kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
     new_lens = cached_lens + jnp.where(seq_valid[:, None], counts, 0)
@@ -253,7 +270,8 @@ def store_decode_all_layers(
     # per ROW, so fusing halves the dominant decode-append cost.
     kv = jnp.concatenate(
         [k_new.reshape(-1, D), v_new.reshape(-1, D)], axis=-1
-    ).astype(state.kv_pages.dtype)
+    )
+    kv = cast_to_cache(kv, state.kv_pages.dtype)
     kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
     new_lens = cur + valid[None, :, None].astype(cur.dtype)
     B = state.bh_lens.shape[1]
@@ -295,7 +313,7 @@ def store_decode_blocks(
     page = geom.page_size
     NB = geom.total_rows // (H * page)
     view = state.kv_pages.reshape(NB, H, page, 2 * D)
-    kv = jnp.concatenate([k_all, v_all], axis=-1).astype(view.dtype)
+    kv = cast_to_cache(jnp.concatenate([k_all, v_all], axis=-1), view.dtype)
     vblk = jnp.where(valid[None, :], vblk, NB)
     # Advanced indices on dims 0 and 2 broadcast to [L, Bd] and move to the
     # front: updates are [L, Bd, H, 2D] — exactly kv's layout. unique:
@@ -334,7 +352,8 @@ def store_decode(
     ).reshape(Bd * H)
     kv = jnp.concatenate(
         [k_new.reshape(Bd * H, D), v_new.reshape(Bd * H, D)], axis=-1
-    ).astype(state.kv_pages.dtype)
+    )
+    kv = cast_to_cache(kv, state.kv_pages.dtype)
     kv_pages = state.kv_pages.at[rows].set(kv, unique_indices=True, mode="drop")
     bh_lens = _update_lens(state.bh_lens, layer, slots, cur + 1, valid)
     return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)

@@ -56,14 +56,8 @@ def quantize_params_int8(params: dict, spec) -> dict:
         w = layers.get(key)
         if w is None or w.dtype == jnp.int8:
             continue
-        if spec.is_moe and not spec.is_mixed and key in (
-            "gate_up_proj", "down_proj"
-        ):
+        if spec.is_moe and key in ("gate_up_proj", "down_proj"):
             continue  # expert stacks ride ragged_dot in bf16
-        if spec.is_moe and spec.is_mixed and key in (
-            "gate_up_proj", "down_proj"
-        ):
-            continue
         layers[key], layers[key + "_scale"] = quantize_tensor(w, axis)
     out["layers"] = layers
     embed = params["embed"]

@@ -203,9 +203,6 @@ class CompressionStatic:
     method: CompressionMethod | str = CompressionMethod.NONE
     chunked: bool = True
     chunk_size: int = 512
-    # Static per-sequence retain bound (>= max budget in the batch): sizes
-    # the Pallas compressed store's packed-segment buffer.
-    topk_static: int = 0
     # Page size to round each head's retained count up to (pad-to-page
     # top-up, reference store_kv_cache.py:178-248); 0 disables.
     pad_to_page: int = 0

@@ -1624,9 +1624,10 @@ def pallas_attention_impl(interpret: bool = False):
         # Quantize to the cache dtype before the DMA source build (DMAs
         # cannot convert; no-op when the cache matches the model dtype), and
         # interleave K|V lanes to match the cache rows.
+        from compactor_vllm_tpu.kv_cache.state import cast_to_cache
+
         kv_hm = (
-            jnp.concatenate([k, v], axis=-1)
-            .astype(cache.kv_pages.dtype)
+            cast_to_cache(jnp.concatenate([k, v], axis=-1), cache.kv_pages.dtype)
             .transpose(1, 0, 2)
             .reshape(H * T, 2 * D)
         )

@@ -110,3 +110,34 @@ def test_hol_skip_aging_becomes_barrier():
     batch3, _ = sched.schedule_prefill()
     assert batch3[0].seq_id == big_b.seq_id
     alloc.check_invariants()
+
+
+def test_hol_barrier_never_starves_chunk_continuation():
+    """A bypassed sequence that ages into a barrier must not land in front
+    of a mid-prefill (chunk-continuation) sequence: the continuation is
+    already admitted and its pages never free unless it finishes, so
+    shadowing it would deadlock the engine."""
+    sched, alloc, cfg = make(
+        num_pages=30, max_tokens=64, max_len=512, hol_skip_limit=1,
+        enable_chunked_prefill=True,
+    )
+    sched.allow_chunking = True
+    big = seq(200)    # 26 pages x 2 heads = 52 > 30: never admittable
+    small = seq(100)  # 14 x 2 = 28 <= 30: fits, chunks at the 64 budget
+    sched.add([big, small])
+    batch1, _ = sched.schedule_prefill()
+    assert [x.seq_id for x in batch1] == [small.seq_id]
+    assert small.prefill_chunk == 64  # partial chunk: mid-prefill now
+    small.num_prefilled_tokens = 64
+    # The continuation must sit at the ABSOLUTE front, ahead of the
+    # bypassed big sequence.
+    assert sched.waiting[0] is small
+    batch2, _ = sched.schedule_prefill()
+    assert [x.seq_id for x in batch2] == [small.seq_id]  # no starvation
+    assert small.prefill_chunk == 100 - 64
+    small.num_prefilled_tokens = 100
+    # Only the impossible sequence remains; the barrier halts admission
+    # (the runner's pool-too-small error is the correct endpoint).
+    batch3, _ = sched.schedule_prefill()
+    assert batch3 == []
+    assert [x.seq_id for x in sched.waiting] == [big.seq_id]
