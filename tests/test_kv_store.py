@@ -203,3 +203,32 @@ def test_store_sel_invalid_seq_untouched():
     )
     _, _, lens = gather_cache_dense(GEOM, state, 0, jnp.asarray(slots), 16)
     assert np.asarray(lens)[1].sum() == 0
+
+
+def test_fp8_store_saturates_no_nan():
+    """fp8 (e4m3fn has no inf) stores must clamp: XLA maps |x| > 448 to NaN,
+    and the decode kernels read V unmasked relying on every cached byte
+    being finite (kv_cache.state.cast_to_cache)."""
+    from compactor_vllm_tpu.kv_cache.state import (
+        cast_to_cache, store_decode_all_layers,
+    )
+
+    x = jnp.asarray([500.0, -1e9, 448.0, 0.25, -500.0], jnp.float32)
+    y = np.asarray(cast_to_cache(x, jnp.float8_e4m3fn).astype(jnp.float32))
+    assert np.isfinite(y).all()
+    np.testing.assert_array_equal(y, [448.0, -448.0, 448.0, 0.25, -448.0])
+
+    # End-to-end through a store op on an fp8 cache.
+    rng, alloc, state, slots = setup([3], max_new=4)
+    state = init_kv_cache(GEOM, dtype=jnp.float8_e4m3fn)._replace(
+        page_table=state.page_table
+    )
+    L, H, D = GEOM.num_layers, GEOM.num_kv_heads, GEOM.head_dim
+    k = jnp.full((L, 1, H, D), 1e6, jnp.float32)  # would NaN without clamp
+    v = -k
+    out = store_decode_all_layers(
+        GEOM, state, k, v, jnp.asarray(slots), jnp.asarray([True]),
+    )
+    pages = np.asarray(out.kv_pages.astype(jnp.float32))
+    assert np.isfinite(pages).all()
+    assert pages.max() == 448.0 and pages.min() == -448.0
