@@ -141,3 +141,34 @@ def test_hol_barrier_never_starves_chunk_continuation():
     batch3, _ = sched.schedule_prefill()
     assert batch3 == []
     assert [x.seq_id for x in sched.waiting] == [big.seq_id]
+
+
+def test_cap_reservation_covers_pad_to_page_roundup():
+    """With a head retention cap and pad_retained_to_page, admission must
+    reserve the PAGE-ROUNDED cap: the store pads each head's retention up to
+    the page boundary, which can exceed a non-aligned cap (review finding:
+    the un-rounded reservation could exhaust the pool at full subscription)."""
+    from compactor_vllm_tpu.config import SequenceCompressionParams
+
+    sched, alloc, cfg = make(num_pages=64, max_tokens=4096, max_len=256)
+    sched.compressing = True
+    s = Sequence(
+        list(range(1, 101)),
+        sampling_params=SamplingParams(0.0, 8),
+        compression_params=SequenceCompressionParams(
+            compression_ratio=0.5, protected_first_tokens=2,
+            protected_last_tokens=4, max_head_retention_factor=1.0,
+        ),
+    )
+    cap = s.head_retention_cap(alloc.H)
+    assert cap > 0 and cap % cfg.kvcache_page_size != 0, "test needs a non-aligned cap"
+    sched.add([s])
+    batch, _ = sched.schedule_prefill()
+    assert batch == [s]
+    page = cfg.kvcache_page_size
+    cap_pages = -(-cap // page)  # page_ceil(cap): what pad-to-page can reach
+    reserved = alloc.num_pages[0, alloc.slot_of_seq[s.seq_id], 0]
+    # Every head's reservation covers page_ceil(cap) retention + max_new.
+    assert reserved * page >= cap_pages * page + 8
+    sched.finish(s)
+    alloc.check_invariants()
