@@ -93,3 +93,62 @@ def test_slot_reuse():
     assert s1 == s2
     assert (a.num_pages[:, s2] == 0).all()
     a.check_invariants()
+
+
+def test_allocator_fuzz_invariants():
+    """Randomized reserve/shrink/grow/block/release churn: after every
+    operation each page id is either free or allocated exactly once, and
+    decode blocks are aligned runs."""
+    rng = np.random.default_rng(42)
+    a = PageAllocator(
+        num_layers=3, num_shards=2, pages_per_shard=64, num_kv_heads=4,
+        max_pages_per_head=16, num_slots=5, page_size=8,
+    )
+    hs = a.heads_per_shard
+    live: dict[int, int] = {}  # seq_id -> reserved tokens
+    next_id = 0
+    for step in range(200):
+        op = rng.integers(0, 5)
+        if op == 0 and len(live) < 4:  # reserve a new seq
+            tokens = int(rng.integers(1, 100))
+            need = -(-(tokens) // a.page_size) * a.H
+            if a.num_free_slots and a.can_reserve(tokens):
+                a.alloc_slot(next_id)
+                a.reserve(next_id, tokens)
+                live[next_id] = tokens
+                next_id += 1
+        elif op == 1 and live:  # shrink to random per-head lens
+            sid = int(rng.choice(list(live)))
+            keep = rng.integers(0, live[sid] + 1, size=(a.L, a.H))
+            a.shrink(sid, keep)
+            live[sid] = int(keep.max())
+        elif op == 2 and live:  # grow per-head
+            sid = int(rng.choice(list(live)))
+            target = rng.integers(0, 100, size=(a.L, a.H))
+            slot = a.slot_of_seq[sid]
+            need = (
+                -(-target // a.page_size) - a.num_pages[:, slot]
+            ).clip(0).reshape(a.L, a.S, hs).sum(axis=2)
+            if (need <= np.asarray(a.free_count)).all():
+                a.grow_per_head(sid, target)
+                live[sid] = max(live[sid], int(target.max()))
+        elif op == 3 and live:  # decode blocks at page-aligned lens
+            sid = int(rng.choice(list(live)))
+            if sid in a.decode_blocks:
+                continue
+            slot = a.slot_of_seq[sid]
+            start = a.num_pages[:, slot].astype(np.int64)
+            nblk = int(rng.integers(1, 3))
+            blocks = a.alloc_decode_blocks(sid, nblk, start)
+            if blocks is not None:
+                assert (blocks % hs == 0).all()
+                assert blocks.shape == (a.L, a.S, nblk)
+        elif op == 4 and live:  # release
+            sid = int(rng.choice(list(live)))
+            a.release_slot(sid)
+            del live[sid]
+        a.check_invariants()
+    for sid in list(live):
+        a.release_slot(sid)
+    assert (a.free_count == a.P).all()
+    a.check_invariants()
