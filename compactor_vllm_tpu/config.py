@@ -137,8 +137,11 @@ class LLMConfig:
     # Chunked prefill: prompts longer than max_num_batched_tokens prefill in
     # page-aligned chunks (the attention kernel's phase-1 page walk covers the
     # already-cached prefix). Decouples the batch token budget — and so peak
-    # activation memory — from max_model_len. Incompatible with KV
-    # compression, whose scoring needs the whole prompt's K in one batch.
+    # activation memory — from max_model_len. Composes with chunk-local KV
+    # compression (Compactor: per-chunk scoring/selection under pro-rated
+    # budgets, with pad_retained_to_page); query-aware methods (SnapKV)
+    # still require whole-prompt prefill and disable chunking
+    # (runner.generate's chunk_ok gate).
     enable_chunked_prefill: bool = False
     # Head-of-line skip aging: how many times the scheduler may admit
     # sequences from behind a prompt whose page reservation does not fit

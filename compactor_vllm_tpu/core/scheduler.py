@@ -24,9 +24,10 @@ class Scheduler:
         self.cfg = cfg
         self.alloc = alloc
         self.waiting: deque[Sequence] = deque()
-        # Chunked prefill gate: set per generate() call by the runner —
-        # compression needs whole-prompt batches, so chunking is disabled
-        # when a compressing BatchCompressionParams is active.
+        # Chunked prefill gate: set per generate() call by the runner
+        # (runner.generate's chunk_ok). Chunking composes with CHUNK-LOCAL
+        # compression (Compactor + pad_retained_to_page); only query-aware
+        # methods (SnapKV) force whole-prompt batches and disable it.
         self.allow_chunking = cfg.enable_chunked_prefill
         # Set per generate() call: whether a compressing method is active
         # (gates the per-head retention-cap reservations).
@@ -128,8 +129,8 @@ class Scheduler:
                             # to the page boundary past the cap — reserve
                             # the rounded amount or the store can outgrow
                             # the reservation (pool-exhaustion assert).
-                            page = self.cfg.kvcache_page_size
-                            cap = -(-cap // page) * page
+                            pg = self.cfg.kvcache_page_size
+                            cap = -(-cap // pg) * pg
                         reserve_tokens = cap
                 total_len = min(
                     reserve_tokens + seq.sampling_params.max_new_tokens,

@@ -233,6 +233,11 @@ class PageAllocator:
             pages = cand[:, heads // hs] + (heads % hs)[None, :, None]
             cols = start_cols[:, :, None] + np.arange(nblk)  # [L, H, nblk]
             np.put_along_axis(self.page_table[:, slot], cols, pages, axis=2)
+            # Contract: callers shrink to start_cols first; overwriting a
+            # larger held count here would silently leak the tail pages.
+            assert (self.num_pages[:, slot] <= start_cols).all(), (
+                "alloc_decode_blocks_batch: slot holds pages beyond start_cols"
+            )
             self.num_pages[:, slot] = start_cols + nblk
             self.decode_blocks[seq_id] = cand
             results.append(cand)

@@ -226,7 +226,7 @@ class CompressionStatic:
 class AttentionImpl:
     """Pluggable attention backend: the jnp oracle or Pallas kernels.
 
-    store_full/store_topk override the jnp cache stores (XLA row scatters
+    store_full/store_sel override the jnp cache stores (XLA row scatters
     serialize on TPU; the Pallas backend stores page-granular DMAs instead).
     prefill_scored, when present, additionally returns the raw postrope
     128-chunk column mass [T, H] computed off the key tiles the attention

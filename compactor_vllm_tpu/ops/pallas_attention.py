@@ -1309,7 +1309,13 @@ def _compact_store_kernel(
         def _():
             wait_flush(jax.lax.rem(bi - 2, 2), bi - 2)
 
-        stage[slot] = ring[pl.ds(r0, BLOCK)].astype(stage.dtype)
+        vals = ring[pl.ds(r0, BLOCK)]
+        if stage.dtype == jnp.float8_e4m3fn:
+            # Same contract as cast_to_cache (kv_cache/state.py:91): e4m3fn
+            # overflow converts to NaN bytes, and the decode kernels read V
+            # unmasked / upcast 0x7F to NaN — saturate before the cast.
+            vals = jnp.clip(vals, -448.0, 448.0)
+        stage[slot] = vals.astype(stage.dtype)
         ring[pl.ds(r0, BLOCK)] = jnp.zeros((BLOCK, 2 * D), jnp.float32)
         start_flush(slot, bi)
 

@@ -1,0 +1,168 @@
+"""Task-accuracy regression for compression (VERDICT r3 missing #1 fallback):
+synthetic needle retrieval through the REAL compression path — Compactor
+scoring -> threshold selection -> compacted paged store -> decode attention
+over the compressed cache.
+
+No checkpoints can enter this environment, so this is the standing guard
+tying SELECTION QUALITY to TASK ACCURACY: a scoring regression that keeps
+multiset/store semantics intact (which every other test would pass) fails
+here, because the needles stop being retained and retrieval collapses to
+the random-selection baseline.
+
+Mirrors the reference's RULER needle claim (README.md:50-62: >=97%
+retention at 50% discard) in miniature: retrieval must be perfect at
+ratio 1.0, near-perfect at 0.5, and strictly better than random selection.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from compactor_vllm_tpu.compression.compactor import compactor_scores, make_phi
+from compactor_vllm_tpu.compression.select import Selection, threshold_select
+from compactor_vllm_tpu.kv_cache.allocator import PageAllocator
+from compactor_vllm_tpu.kv_cache.state import (
+    KVCacheGeometry,
+    init_kv_cache,
+    store_prefill_sel,
+)
+from compactor_vllm_tpu.ops.attention_ref import ref_decode_attention
+
+T, H, G, D = 512, 2, 2, 64
+PAGE = 8
+W = 32  # protected question window at the end
+N_NEEDLES = 8
+GEOM = KVCacheGeometry(
+    num_layers=1, num_pages=192, page_size=PAGE, num_kv_heads=H,
+    head_dim=D, num_slots=3, max_pages_per_head=T // PAGE,
+)
+
+
+def _build_task(rng):
+    """Haystack of redundant (rank-4 subspace) keys with N strong
+    unique-direction needle keys per head; values mark each needle with a
+    distinct orthogonal direction. The final W queries 'ask' about the
+    needles (so postrope column mass sees them, as real retrieval
+    questions do)."""
+    basis = np.linalg.qr(rng.normal(size=(D, D)))[0].astype(np.float32)
+    bg_sub = basis[:, :4]  # background key subspace
+    needle_pos = np.linspace(40, T - W - 24, N_NEEDLES).astype(int)
+    k = (rng.normal(size=(T, H, 4)) @ bg_sub.T).astype(np.float32)
+    k += 0.05 * rng.normal(size=(T, H, D)).astype(np.float32)
+    v = 0.1 * rng.normal(size=(T, H, D)).astype(np.float32)
+    key_dirs = np.zeros((N_NEEDLES, H, D), np.float32)
+    val_dirs = np.zeros((N_NEEDLES, H, D), np.float32)
+    for i, p in enumerate(needle_pos):
+        for h in range(H):
+            key_dirs[i, h] = basis[:, 4 + i * H + h]
+            val_dirs[i, h] = basis[:, 4 + N_NEEDLES * H + i * H + h]
+            k[p, h] = 4.0 * key_dirs[i, h]
+            v[p, h] = 3.0 * val_dirs[i, h]
+    q = 0.1 * rng.normal(size=(T, H * G, D)).astype(np.float32)
+    ask = key_dirs.mean(axis=0)  # [H, D] mixture of all needle keys
+    q[T - W:] += np.repeat(ask, G, axis=0)[None] * 2.0
+    return k, v, needle_pos, key_dirs, val_dirs
+
+
+def _retrieval_hits(state, slots, key_dirs, val_dirs, needle_pos):
+    """For each (needle, head): decode-attend with a sharp retrieval query
+    and count a hit when the output recovers the needle's value direction."""
+    hits = 0
+    for i in range(N_NEEDLES):
+        qd = np.repeat(40.0 * key_dirs[i], G, axis=0)[None]  # [1, HQ, D]
+        out = np.asarray(
+            ref_decode_attention(
+                GEOM, state, 0, jnp.asarray(qd), jnp.asarray(slots),
+                max_cache_len=T, sm_scale=1.0 / np.sqrt(D),
+            )
+        ).reshape(H, G, D)
+        for h in range(H):
+            o = out[h, 0]
+            cos = o @ val_dirs[i, h] / (np.linalg.norm(o) + 1e-9)
+            hits += cos > 0.7
+    return hits
+
+
+def _fresh_cache():
+    alloc = PageAllocator(
+        num_layers=1, num_shards=1, pages_per_shard=GEOM.num_pages,
+        num_kv_heads=H, max_pages_per_head=GEOM.max_pages_per_head,
+        num_slots=GEOM.num_slots, page_size=PAGE,
+    )
+    alloc.alloc_slot(0)
+    alloc.reserve(0, T)
+    slot = alloc.slot_of_seq[0]
+    state = init_kv_cache(GEOM, dtype=jnp.float32)._replace(
+        page_table=jnp.asarray(alloc.page_table)
+    )
+    return state, np.array([slot], np.int32)
+
+
+def _store_selection(sel, k, v):
+    state, slots = _fresh_cache()
+    state = store_prefill_sel(
+        GEOM, state, 0, jnp.asarray(k), jnp.asarray(v),
+        sel.rank, sel.counts, jnp.zeros(T, jnp.int32),
+        jnp.asarray(slots), jnp.zeros((1, H), jnp.int32), jnp.ones(1, bool),
+    )
+    return state, slots
+
+
+def _random_selection(rng, n_retain):
+    """Joint-budget random (token, head) selection with token-order ranks —
+    the baseline real scoring must beat."""
+    flat = rng.choice(T * H, size=n_retain, replace=False)
+    rank = np.full((T, H), -1, np.int32)
+    counts = np.zeros((1, H), np.int32)
+    for h in range(H):
+        toks = sorted(p // H for p in flat if p % H == h)
+        for r, t in enumerate(toks):
+            rank[t, h] = r
+        counts[0, h] = len(toks)
+    return Selection(rank=jnp.asarray(rank), counts=jnp.asarray(counts))
+
+
+def test_needle_retrieval_vs_ratio():
+    rng = np.random.default_rng(0)
+    k, v, needle_pos, key_dirs, val_dirs = _build_task(rng)
+    seq_idx = np.zeros(T, np.int32)
+    in_pos = np.arange(T, dtype=np.int32)
+    valid = np.ones(T, bool)
+    q_post = np.zeros((T, H * G, D), np.float32)
+    q_post[:] = 0.1 * rng.normal(size=(T, H * G, D))
+    q_post[T - W:] += np.repeat(key_dirs.mean(axis=0), G, axis=0)[None] * 2.0
+    phi = make_phi(D, 16)
+    scores = compactor_scores(
+        jnp.asarray(q_post), jnp.asarray(k), jnp.asarray(k), phi,
+        jnp.asarray([T], jnp.int32), jnp.asarray(seq_idx),
+        jnp.asarray(in_pos), jnp.asarray(valid),
+        jnp.asarray([4], jnp.int32), jnp.asarray([W], jnp.int32),
+        score_chunk_size=512, t_pad=T, b_pad=1, aligned=True,
+    )
+
+    acc = {}
+    for ratio in (1.0, 0.75, 0.5, 0.25):
+        retain = jnp.asarray([int(ratio * T * H)], jnp.int32)
+        sel = threshold_select(
+            scores, jnp.zeros(1, jnp.int32), jnp.asarray([T], jnp.int32),
+            retain, pad_to_page=PAGE,
+        )
+        state, slots = _store_selection(sel, k, v)
+        acc[ratio] = _retrieval_hits(state, slots, key_dirs, val_dirs, needle_pos)
+
+    total = N_NEEDLES * H
+    assert acc[1.0] == total, acc  # uncompressed must be perfect
+    # The reference's headline: near-perfect retrieval at 50% discard.
+    assert acc[0.5] >= total - 1, acc
+    assert acc[0.75] >= acc[0.25] - 1, acc  # no inverted quality curve
+
+    # Random selection at 50% loses ~half the needles; real scoring must
+    # clearly beat it (this is the assertion that fails if scoring quality
+    # silently regresses while store semantics stay correct).
+    rand_hits = max(
+        _retrieval_hits(
+            *_store_selection(_random_selection(np.random.default_rng(s), T * H // 2), k, v),
+            key_dirs, val_dirs, needle_pos,
+        )
+        for s in (1, 2, 3)
+    )
+    assert acc[0.5] >= rand_hits + 3, (acc, rand_hits)

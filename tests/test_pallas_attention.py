@@ -494,3 +494,54 @@ def test_decode_kernel_ring_path_matches_oracle(monkeypatch):
         k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
+
+
+def test_compact_store_fp8_saturates_no_nan():
+    """ADVICE r3 (high): the fused compact+store kernel must saturate to
+    +-448 before the e4m3fn cast, like cast_to_cache — otherwise one
+    out-of-range retained value writes NaN bytes that the unmasked-V decode
+    kernels then propagate."""
+    from compactor_vllm_tpu.compression.select import Selection
+    from compactor_vllm_tpu.config import CompressionMethod
+    from compactor_vllm_tpu.models.transformer import PrefillMeta
+    from compactor_vllm_tpu.ops.pallas_attention import pallas_attention_impl
+    from compactor_vllm_tpu.ops.attention_ref import gather_cache_dense
+
+    rng = np.random.default_rng(11)
+    seq_lens = [24]
+    B, H, D = 1, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = np.zeros((B, H), np.int32)
+    state, slots = build_cache(rng, seq_lens, cache_lens, max_new=4)
+    state = state._replace(kv_pages=state.kv_pages.astype(jnp.float8_e4m3fn))
+    Tp, starts, lens, q, kn, vn = packed(rng, seq_lens, 8, 512, align=256)
+    kn = kn * 1e4  # every value far beyond the e4m3fn max of 448
+    vn = -np.abs(vn) * 1e4
+    impl = pallas_attention_impl(interpret=True)
+    meta = PrefillMeta(
+        input_ids=jnp.zeros(Tp, jnp.int32), positions=jnp.zeros(Tp, jnp.int32),
+        token_seq_idx=jnp.zeros(Tp, jnp.int32), token_in_pos=jnp.zeros(Tp, jnp.int32),
+        token_valid=jnp.zeros(Tp, bool),
+        seq_starts=jnp.asarray(starts), seq_lens=jnp.asarray(lens),
+        slots=jnp.asarray(slots), seq_valid=jnp.ones(B, bool),
+        retain=jnp.zeros(B, jnp.int32), protected_first=jnp.zeros(B, jnp.int32),
+        protected_last=jnp.zeros(B, jnp.int32), phi=jnp.zeros((D, 4)),
+    )
+    rank = np.full((Tp, H), -1, np.int32)
+    counts = np.zeros((B, H), np.int32)
+    for h in range(H):
+        toks = sorted(rng.choice(seq_lens[0], size=10, replace=False).tolist())
+        for r, t in enumerate(toks):
+            rank[starts[0] + t, h] = r
+        counts[0, h] = len(toks)
+    selection = Selection(rank=jnp.asarray(rank), counts=jnp.asarray(counts))
+    got = impl.store_sel(GEOM, state, 0, jnp.asarray(kn), jnp.asarray(vn),
+                         selection, meta)
+    kd, vd, ln = gather_cache_dense(GEOM, got, 0, jnp.asarray(slots), 32)
+    kd, vd, ln = np.asarray(kd, np.float32), np.asarray(vd, np.float32), np.asarray(ln)
+    for h in range(H):
+        n = ln[0, h]
+        assert n == counts[0, h]
+        assert np.isfinite(kd[0, h, :n]).all() and np.isfinite(vd[0, h, :n]).all()
+        np.testing.assert_array_equal(kd[0, h, :n][np.abs(kd[0, h, :n]) > 0].clip(-448, 448), kd[0, h, :n][np.abs(kd[0, h, :n]) > 0])
+        assert (vd[0, h, :n] >= -448.0).all()
+        assert np.abs(kd[0, h, :n]).max() == 448.0  # saturated, not zeroed
