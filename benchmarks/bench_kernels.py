@@ -93,7 +93,7 @@ def bench_prefill(q_len, batch):
 def bench_decode(ctx_len, batch, group_pages=None):
     import compactor_vllm_tpu.ops.pallas_attention as _pa0
 
-    group_pages = group_pages or _pa0.DECODE_GROUP
+    group_pages = group_pages or _pa0.decode_group_pages()
     geom = KVCacheGeometry(
         num_layers=1, num_pages=batch * H * (ctx_len // PAGE + 2) + 64,
         page_size=PAGE, num_kv_heads=H, head_dim=D, num_slots=batch + 1,

@@ -39,14 +39,17 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def report(name, fn, *args):
+def report(name, fn, pages, kv, offs_sets):
+    """Time with per-call VARIED `offs` — the axon relay memoizes identical
+    dispatches (NOTES.md round-2 gotcha), so repeating one argument tuple
+    reports ~0 ms."""
     log(f"{name}: compiling ...")
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(pages, kv, offs_sets[0]))
     log(f"{name}: compiled")
     times = []
-    for _ in range(5):
+    for offs in offs_sets[1:]:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(pages, kv, offs))
         times.append(time.perf_counter() - t0)
     per_step = float(np.median(times)) / STEPS
     bw = (L * Bd * H * 2 * D * 2) / per_step / 1e9
@@ -56,7 +59,9 @@ def report(name, fn, *args):
 def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
     log("devices ok")
-    rows = L * P * PAGE + H * PAGE  # H trash pages: divisible by H*PAGE
+    # Trash pages widened to H*K so BOTH bitcast views (groups of H and of
+    # H*K pages) divide the row count evenly.
+    rows = L * P * PAGE + H * 4 * PAGE
     rng = np.random.default_rng(0)
     kv = jnp.asarray(rng.normal(size=(L, Bd, H, 2 * D)), jnp.bfloat16)
 
@@ -109,14 +114,17 @@ def main():
         pages, _ = jax.lax.scan(body, pages, offs)
         return pages
 
-    offs = jnp.arange(STEPS, dtype=jnp.int32)
+    # Varied per timed call (relay memoization defeat); values stay < PAGE.
+    offs_sets = [
+        (jnp.arange(STEPS, dtype=jnp.int32) + i) % PAGE for i in range(6)
+    ]
     for name, fn in [
         ("row-scatter", row_scatter),
         ("win-scatter", win_scatter),
         ("win-scatter K=4", win_scatter_k4),
     ]:
         pages = jnp.zeros((rows, 2 * D), jnp.bfloat16)
-        report(name, fn, pages, kv, offs)
+        report(name, fn, pages, kv, offs_sets)
 
 
 if __name__ == "__main__":

@@ -100,13 +100,19 @@ def kernel(lens_ref, pt_ref, contig_ref, base_ref, q_ref, kvp_hbm, o_ref,
         fetch(nxt, jax.lax.rem(nxt, NS), wait=False)
 
     fetch(b, slot, wait=True)
-    o_ref[b] = kv_buf[slot, 0:8, :].sum(axis=0).astype(o_ref.dtype)
+    # Whole-block write via the out BlockSpec (a dynamic o_ref[b] row store
+    # is not provably 8-aligned for Mosaic).
+    o_ref[...] = kv_buf[slot, 0:8, :].sum(axis=0, keepdims=True).astype(
+        o_ref.dtype
+    )
 
 
 def run(nprog, ctx, ns, layout):
     npages_per = ctx // PAGE
     P = nprog * npages_per  # exactly enough pages
-    rows = P * PAGE
+    # 64 spare pages: the timed calls shift the row base by whole pages to
+    # defeat the relay's identical-dispatch memoization.
+    rows = (P + 64) * PAGE
     rng = np.random.default_rng(0)
     if layout == "contig":
         pt = np.arange(P, dtype=np.int32).reshape(nprog, 1, npages_per)
@@ -126,7 +132,7 @@ def run(nprog, ctx, ns, layout):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 2 * D), lambda i, *_: (i, 0)),
         # Scratch rows rounded up to whole groups: the traced run-DMA branch
         # slices GP*PAGE rows even when the dynamic guard rejects it.
         scratch_shapes=[
@@ -153,14 +159,20 @@ def run(nprog, ctx, ns, layout):
         s, _ = jax.lax.scan(step, jnp.float32(0), deltas)
         return s
 
-    deltas = jnp.zeros((REPS,), jnp.int32)
-    args = (jnp.asarray(lens), jnp.asarray(pt), jnp.asarray(contig), q, kvp,
-            deltas)
-    float(chain(*args))
+    # Per-step AND per-call varied page-aligned base offsets: per-step so XLA
+    # cannot hoist the loop-invariant pallas_call out of the scan, per-call
+    # so the relay cannot memoize the dispatch. Offsets stay within the 64
+    # spare pages and remain PAGE-multiples (the kernel's multiple_of hint).
+    def mk_deltas(j):
+        return ((np.arange(REPS) % 4) + 4 * (j % 4)).astype(np.int32) * PAGE
+
+    fixed = (jnp.asarray(lens), jnp.asarray(pt), jnp.asarray(contig), q, kvp)
+    float(chain(*fixed, jnp.asarray(mk_deltas(0))))
     ts = []
-    for _ in range(4):
+    for j in range(1, 5):
+        deltas = jnp.asarray(mk_deltas(j))
         t0 = time.perf_counter()
-        float(chain(*args))
+        float(chain(*fixed, deltas))
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts)) / REPS
     gb = nprog * ctx * 2 * D * 2 / 1e9

@@ -94,10 +94,11 @@ def k_dma_only(q_ref, k_ref, v_ref, o_ref):
     """No attention math: touch one sublane chunk of K/V so the block
     pipeline still streams the full blocks. Measures the pipeline's pure
     data-movement floor at this grid/block shape."""
-    o_ref[0] = (
+    touched = (
         k_ref[0, 0:8, :].sum(axis=0, keepdims=True)
         + v_ref[0, 0:8, :].sum(axis=0, keepdims=True)
-    ).astype(o_ref.dtype) + q_ref[0][:1] * 0
+    )  # [1, D]; broadcast against q [G, D] to fill the output block
+    o_ref[0] = (touched + q_ref[0] * 0).astype(o_ref.dtype)
 
 
 def k_qk_only(q_ref, k_ref, v_ref, o_ref):

@@ -159,6 +159,12 @@ class LLMConfig:
     # attention/sparse_decode_kernel.py:84,136-161; e4m3's dynamic range
     # covers RMSNorm-scale K/V without per-row scales).
     kv_cache_dtype: str = "auto"
+    # Round the decode query through e4m3 before the QK dot — numerics
+    # analog of the reference's fp8 q cast next to its fp8 KV
+    # (attention/sparse_decode_kernel.py:84,137-139). Accuracy knob on TPU:
+    # the decode pipeline is element-rate bound (NOTES.md round 4), so the
+    # rounded q is carried in the compute dtype and there is no speed claim.
+    fp8_query: bool = False
     # Decode-append strategy: aligned decode blocks turn the per-step cache
     # append into a few wide window writes instead of L*B*H row scatters
     # (kv_cache/state.py store_decode_blocks). Auto-falls-back per batch when

@@ -159,7 +159,8 @@ class ModelRunner:
                 )
 
                 attention_impl = pallas_attention_impl(
-                    interpret=jax.default_backend() != "tpu"
+                    interpret=jax.default_backend() != "tpu",
+                    fp8_query=cfg.fp8_query,
                 )
             else:
                 max_cache = cfg.max_pages_per_head * cfg.kvcache_page_size
@@ -257,9 +258,11 @@ class ModelRunner:
         activation watermark (reference: core/memory_manager.py:92-161 runs a
         warmup forward and reads the peak; under XLA activations are allocated
         *statically*, so we AOT-compile the largest prefill bucket and read
-        `memory_analysis().temp_size_in_bytes` — exact, with no execution).
-        Falls back to an analytic activation model when compilation analysis
-        is unavailable (CPU tests, sharded meshes)."""
+        `memory_analysis().temp_size_in_bytes` — exact, with no execution;
+        under a mesh the shard_map'd step is lowered with its production
+        shardings and the PER-DEVICE temp size is read). Falls back to an
+        analytic activation model when compilation analysis is unavailable
+        (CPU tests)."""
         if jax.default_backend() != "tpu":
             return 4096  # CPU/test fallback
         dev = jax.devices()[0]
@@ -281,6 +284,9 @@ class ModelRunner:
         param_bytes = sum(
             x.size * jnp.dtype(x.dtype).itemsize for x in jax.tree.leaves(params)
         )
+        # Under tp the big weights shard over the mesh: each device holds
+        # ~1/tp of them (norm vectors replicate but are negligible).
+        param_bytes //= self.tp
         # bytes_in_use already covers params committed to the device; when
         # params are still host-side (or stats are absent) reserve them here.
         reserved = max(in_use, param_bytes) if in_use else param_bytes
@@ -318,12 +324,19 @@ class ModelRunner:
         logger.info("derived KV pool: %d pages/(layer,shard)", n)
         return int(n)
 
-    def _measure_activation_bytes(self, cache_dtype, probe, params):
+    def _measure_activation_bytes(
+        self, cache_dtype, probe, params, allow_cpu: bool = False
+    ):
         """AOT-compile the largest prefill bucket against a 1-page probe cache
         and return XLA's statically allocated temp size (the true activation
-        watermark; pool size does not change temps). Returns None when the
-        backend cannot compile-and-analyze (CPU interpret mode, tp meshes)."""
-        if self.mesh is not None or jax.default_backend() != "tpu":
+        watermark; pool size does not change temps). Under a (dp, tp) mesh the
+        shard_map'd step is lowered with the production NamedShardings and
+        `memory_analysis()` reports the PER-DEVICE temp size — exactly the
+        configurations with the least memory slack get the measured probe
+        (VERDICT r3 #7). Returns None when the backend cannot
+        compile-and-analyze (CPU interpret mode, unless `allow_cpu` — used by
+        the mesh dryrun to validate this machinery without TPUs)."""
+        if jax.default_backend() != "tpu" and not allow_cpu:
             return None
         t_pad = self.cfg.prefill_token_buckets[-1]
         from compactor_vllm_tpu.ops.pallas_attention import TOKEN_SLACK
@@ -355,29 +368,88 @@ class ModelRunner:
             seq_valid=sds((b_pad,), b1), retain=sds((b_pad,), i32),
             protected_first=sds((b_pad,), i32), protected_last=sds((b_pad,), i32),
             phi=sds((self.lspec.head_dim, self.cfg.leverage_sketch_size), f32),
+            # The engine always packs these (run_prefill group arrays):
+            cached_lens=sds((b_pad,), i32),
+            store_contig=sds(
+                (b_pad, H, cdiv(probe.max_pages_per_head, 8)), i32),
+            head_cap=sds((b_pad,), i32),
         )
-        cache = KVCacheState(
-            kv_pages=sds((probe.total_rows, 2 * probe.head_dim), cache_dtype),
-            page_table=sds(
-                (probe.num_layers, probe.num_slots, probe.num_kv_heads,
-                 probe.max_pages_per_head), i32),
-            bh_lens=sds((probe.num_layers, probe.num_slots, probe.num_kv_heads),
-                        i32),
-        )
-        pshapes = jax.tree.map(lambda x: sds(x.shape, x.dtype), params)
+        if self.mesh is None:
+            cache = KVCacheState(
+                kv_pages=sds((probe.total_rows, 2 * probe.head_dim), cache_dtype),
+                page_table=sds(
+                    (probe.num_layers, probe.num_slots, probe.num_kv_heads,
+                     probe.max_pages_per_head), i32),
+                bh_lens=sds((probe.num_layers, probe.num_slots,
+                             probe.num_kv_heads), i32),
+            )
+            pshapes = jax.tree.map(lambda x: sds(x.shape, x.dtype), params)
+            temps = sds((b_pad,), f32)
+            key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+        else:
+            # Global (mesh-wide) avals with the production NamedShardings:
+            # dp-stacked metadata, tp/dp-sharded cache, sharded params —
+            # mirrors exactly what _shard_step's jit receives at runtime.
+            S, G = self.tp, self.dp
+
+            def ns(spec):
+                return NamedSharding(self.mesh, spec)
+
+            meta_specs = self._dp_meta_specs(PrefillMeta)
+
+            def stack_field(f):
+                x, spec = getattr(meta, f), getattr(meta_specs, f)
+                if x is None:  # optional meta fields (e.g. cached_lens)
+                    return None
+                if f == "store_contig":
+                    # kv-head axis is GLOBAL (sharded over tp).
+                    shape = (G, x.shape[0], S * x.shape[1], x.shape[2])
+                elif f == "phi":
+                    shape = x.shape
+                else:
+                    shape = (G,) + x.shape
+                return sds(shape, x.dtype, sharding=ns(spec))
+
+            meta = PrefillMeta(
+                **{f: stack_field(f) for f in PrefillMeta._fields}
+            )
+            cspecs = cache_pspecs()
+            cache = KVCacheState(
+                kv_pages=sds(
+                    (G * S * probe.total_rows, 2 * probe.head_dim),
+                    cache_dtype, sharding=ns(cspecs.kv_pages)),
+                page_table=sds(
+                    (probe.num_layers, G * probe.num_slots,
+                     S * probe.num_kv_heads, probe.max_pages_per_head),
+                    i32, sharding=ns(cspecs.page_table)),
+                bh_lens=sds(
+                    (probe.num_layers, G * probe.num_slots,
+                     S * probe.num_kv_heads),
+                    i32, sharding=ns(cspecs.bh_lens)),
+            )
+            pspecs = param_pspecs(
+                self.spec, quantized=self.cfg.weight_dtype == "int8"
+            )
+            pshapes = jax.tree.map(
+                lambda x, s: sds(x.shape, x.dtype, sharding=ns(s)),
+                params, pspecs,
+            )
+            temps = sds((G, b_pad), f32, sharding=ns(P(AXIS_DP)))
+            k0 = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+            key = sds(k0.shape, k0.dtype, sharding=ns(P()))
         saved_geom = getattr(self, "geom", None)
         self.geom = probe
         try:
             fn = self._prefill_fn(t_pad, b_pad, comp)
-            key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
-            compiled = fn.lower(
-                pshapes, cache, meta, sds((b_pad,), f32), key
-            ).compile()
+            compiled = fn.lower(pshapes, cache, meta, temps, key).compile()
             ma = compiled.memory_analysis()
             temp = int(ma.temp_size_in_bytes)
             logger.info(
-                "memory probe (t_pad=%d): temp %.2f GiB, out %.2f GiB",
-                t_pad, temp / 2**30, ma.output_size_in_bytes / 2**30,
+                "memory probe (t_pad=%d%s): per-device temp %.2f GiB, "
+                "out %.2f GiB",
+                t_pad,
+                "" if self.mesh is None else f", mesh dp={self.dp} tp={self.tp}",
+                temp / 2**30, ma.output_size_in_bytes / 2**30,
             )
             return temp
         except Exception as e:  # pragma: no cover - backend specific
@@ -484,10 +556,15 @@ class ModelRunner:
 
     @staticmethod
     def _dp_local_meta(meta):
-        """Drop the leading (local size 1) dp axis of a sharded meta."""
+        """Drop the leading (local size 1) dp axis of a sharded meta.
+        Optional fields may be None (replicated phi passes through whole)."""
         t = type(meta)
         return t(**{
-            f: getattr(meta, f) if f == "phi" else getattr(meta, f)[0]
+            f: (
+                getattr(meta, f)
+                if f == "phi" or getattr(meta, f) is None
+                else getattr(meta, f)[0]
+            )
             for f in t._fields
         })
 
@@ -996,13 +1073,14 @@ class ModelRunner:
             # newest has been processed (appended) by a decode step.
             dec_pos[i] = s.num_completion_tokens - 1
         valid = np.arange(b_pad) < len(seqs)
-        from compactor_vllm_tpu.ops.pallas_attention import DECODE_GROUP
+        from compactor_vllm_tpu.ops.pallas_attention import decode_group_pages
 
-        ng = cdiv(self.geom.max_pages_per_head, DECODE_GROUP)
+        gp = decode_group_pages()
+        ng = cdiv(self.geom.max_pages_per_head, gp)
         contig8 = np.zeros((b_pad, self.spec.num_kv_heads, ng), np.int32)
         for i, s in enumerate(seqs):
             contig8[i] = alloc.contig_groups(
-                alloc.slot_of_seq[s.seq_id], DECODE_GROUP
+                alloc.slot_of_seq[s.seq_id], gp
             )
         return {
             "input_ids": ids, "positions": pos, "slots": slots,

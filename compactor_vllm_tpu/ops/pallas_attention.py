@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from compactor_vllm_tpu.ops.tuning import get_tuning
+
 LOG2E = 1.4426950408889634
 NEG_INF = -1.0e30
 # Padded rows callers must leave after the last packed token (>= the key
@@ -370,7 +372,9 @@ def paged_prefill_attention(
     G = HQ // H
     Bp = seq_starts.shape[0]
     TM = _row_tile(G, score_chunks)
-    TN = 512  # big key tiles amortize loop/DMA overhead over MXU work
+    # Big key tiles amortize loop/DMA overhead over MXU work (per-device
+    # table; 512 measured on v5e).
+    TN = get_tuning().prefill_tn
     assert T % TM == 0 and max_q % TM == 0
     num_m = pl.cdiv(max_q, TM)
     grid = (Bp, H, num_m)
@@ -445,12 +449,22 @@ def paged_prefill_attention(
 # ------------------------------------------------------------------ decode
 
 
-DECODE_GROUP = 16  # pages fetched + reduced per flash step (one dot per 1024-token superchunk)
+# Tuning constants live in ops/tuning.py (per-device-kind table). The module
+# globals below are OVERRIDES: None means "use the table"; tests and smoke
+# benchmarks monkeypatch them to force specific kernel paths.
+DECODE_GROUP: int | None = None  # pages fetched + reduced per flash step
 # Max per-head context (tokens) for the RESIDENT decode kernel: the whole
 # per-(b, h) KV fits VMEM (2 ring slots x K+V x bf16: tokens x 1KB), the next
 # program's pages prefetch during this program's compute, and attention runs
 # as two full-width dots with a single softmax — no per-group flash chain.
-DECODE_RESIDENT_TOKENS = 8192
+DECODE_RESIDENT_TOKENS: int | None = None
+
+
+def decode_group_pages() -> int:
+    """Pages per decode flash group (module override, else tuning table).
+    Callers building contig-run flag arrays must use this exact value so the
+    flag width matches the kernel's group walk."""
+    return DECODE_GROUP if DECODE_GROUP is not None else get_tuning().decode_group_pages
 
 
 def _decode_kernel_resident(
@@ -632,9 +646,9 @@ def _decode_kernel_resident(
 
 # Pairs per grid program for the multi-pair resident kernel: amortizes
 # per-program sequencing overhead and keeps PP page fetches in flight at
-# once. 0/1 selects the single-pair kernel. Env-overridable for on-chip
-# A/B (CVT_DECODE_PAIRS=1 python benchmarks/bench_kernels.py).
-DECODE_PAIRS_PER_PROGRAM = int(os.environ.get("CVT_DECODE_PAIRS", "4"))
+# once. 0/1 selects the single-pair kernel. None -> tuning table (which the
+# CVT_DECODE_PAIRS env var overrides for on-chip A/B).
+DECODE_PAIRS_PER_PROGRAM: int | None = None
 
 
 def _decode_kernel_resident_multi(
@@ -796,6 +810,7 @@ def _decode_kernel(
     page_size: int,
     group: int,
     group_pages: int,
+    megacore: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -859,13 +874,17 @@ def _decode_kernel(
                     def _():
                         page_dma(slot, i, j).wait()
 
-        @pl.when(b * pl.num_programs(1) + h == 0)
-        def _():
+        if not megacore:
             # Zero the ring once per dispatch: scratch VMEM is undefined at
             # entry; afterwards every slot row is either a fetched cache row
             # (finite by construction) or a stale one from a previous group —
             # so the V tile needs no per-group mask (p is 0 past `length`).
-            kv_buf[...] = jnp.zeros_like(kv_buf)
+            # NOT valid under megacore: each TensorCore owns its own scratch
+            # instance and program 0 runs on only one of them — the megacore
+            # path masks V instead.
+            @pl.when(b * pl.num_programs(1) + h == 0)
+            def _():
+                kv_buf[...] = jnp.zeros_like(kv_buf)
 
         start_group(0, 0)
 
@@ -895,8 +914,15 @@ def _decode_kernel(
             l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
             # Un-fetched V lanes need no mask: their probability is exactly 0
             # (s NEG_INF-masked) and ring contents are always finite (zeroed
-            # at program 0; afterwards fetched cache rows).
+            # at program 0; afterwards fetched cache rows). Under megacore
+            # the zero-once trick is invalid (per-core scratch), so unfetched
+            # rows may hold garbage/NaN and 0 x NaN = NaN — mask V explicitly.
             v_tile = _upcast_tile(kv_buf[slot, :, pl.ds(D, D)], q.dtype)
+            if megacore:
+                vpos = i * GP * page_size + jax.lax.broadcasted_iota(
+                    jnp.int32, (GP * page_size, 1), 0
+                )
+                v_tile = jnp.where(vpos < length, v_tile, 0)
             acc = acc * corr + jax.lax.dot(
                 p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
             )
@@ -938,9 +964,16 @@ def paged_decode_attention(
     *,
     sm_scale: float,
     page_size: int,
-    group_pages: int = DECODE_GROUP,
+    group_pages: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
+    tune = get_tuning()
+    if group_pages is None:
+        group_pages = decode_group_pages()
+    resident_tokens = (
+        DECODE_RESIDENT_TOKENS if DECODE_RESIDENT_TOKENS is not None
+        else tune.decode_resident_tokens
+    )
     Bd, HQ, D = q.shape
     H = page_table.shape[1]
     G = HQ // H
@@ -961,16 +994,23 @@ def paged_decode_attention(
     q_hm = q.reshape(Bd, H, G, D)
     kn_hm = k_new[:, :, None, :]  # [Bd, H, 1, D]
     vn_hm = v_new[:, :, None, :]
-    resident = maxp * page_size <= DECODE_RESIDENT_TOKENS
+    # Resident kernels rely on sequential grid execution (cross-program
+    # prefetch, zero-scratch-once) — invalid on megacore parts (v4/v5p),
+    # which instead run the self-contained ring kernel with a `parallel`
+    # batch dim so both TensorCores contribute.
+    resident = maxp * page_size <= resident_tokens and not tune.megacore
     grid = (Bd, H)
     if resident:
         ctx = ng * group_pages * page_size
         slot_bytes = ctx * 2 * D * jnp.dtype(kv_pages.dtype).itemsize
-        pp = DECODE_PAIRS_PER_PROGRAM
+        pp = (
+            DECODE_PAIRS_PER_PROGRAM if DECODE_PAIRS_PER_PROGRAM is not None
+            else tune.decode_pairs
+        )
         if (
             pp > 1
             and (Bd * H) % pp == 0
-            and 2 * pp * slot_bytes <= (8 << 20)
+            and 2 * pp * slot_bytes <= tune.ring_budget_bytes
         ):
             grid = ((Bd * H) // pp,)
             kernel = functools.partial(
@@ -985,8 +1025,8 @@ def paged_decode_attention(
             ]
         else:
             # Ring depth: keep NS - 1 programs' page fetches in flight (DMA
-            # issue latency cover), bounded by an ~8 MB VMEM ring budget.
-            ns = int(max(2, min(4, (8 << 20) // max(slot_bytes, 1))))
+            # issue latency cover), bounded by the VMEM ring budget.
+            ns = int(max(2, min(4, tune.ring_budget_bytes // max(slot_bytes, 1))))
             kernel = functools.partial(
                 _decode_kernel_resident, sm_scale=sm_scale,
                 page_size=page_size, group=G, group_pages=group_pages,
@@ -999,7 +1039,7 @@ def paged_decode_attention(
     else:
         kernel = functools.partial(
             _decode_kernel, sm_scale=sm_scale, page_size=page_size, group=G,
-            group_pages=group_pages,
+            group_pages=group_pages, megacore=tune.megacore,
         )
         scratch = [
             pltpu.VMEM((2, group_pages * page_size, 2 * D), kv_pages.dtype),
@@ -1023,10 +1063,15 @@ def paged_decode_attention(
         out_shape=jax.ShapeDtypeStruct((Bd, H, G, D), q.dtype),
         # Measured on v5e (single TensorCore): "parallel" on the batch dim
         # is slightly SLOWER (1.25 -> 1.73 ms/layer at ctx2048 b16) and would
-        # race the resident kernel's cross-program prefetch on dual-core
-        # parts — keep sequential semantics (NOTES.md round 2).
+        # race the resident kernel's cross-program prefetch — keep sequential
+        # semantics (NOTES.md round 2). On megacore parts (v4/v5p) the grid
+        # is the self-contained ring kernel, whose batch dim is marked
+        # `parallel` so Mosaic can split it across both TensorCores.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * len(grid),
+            dimension_semantics=(
+                ("parallel",) + ("arbitrary",) * (len(grid) - 1)
+                if tune.megacore else ("arbitrary",) * len(grid)
+            ),
         ),
         interpret=interpret,
     )(
@@ -1563,15 +1608,27 @@ def paged_compact_store(
 # --------------------------------------------------------------- engine glue
 
 
-def pallas_attention_impl(interpret: bool = False):
+def pallas_attention_impl(interpret: bool = False, fp8_query: bool = False):
     """AttentionImpl backed by the Pallas kernels (AttentionBackend.PALLAS).
 
     The cached-length snapshot (meta.cached_lens) is zero for fresh prefills
     — phase 1 is skipped dynamically — and the page-aligned prefix length for
     chunked-prefill continuations, which walk the cached pages in phase 1
     (reference analog: layers/attention.py:45-52 snapshots pre-store lens).
+
+    fp8_query: round the DECODE query through e4m3 before the QK dot — the
+    numerics analog of the reference's fp8 q cast alongside its fp8 KV cache
+    (reference: attention/sparse_decode_kernel.py:84,137-139). On TPU this is
+    an ACCURACY knob, not a speed lever: the v5e MXU has no fp8 rate
+    advantage, and the decode pipeline is element-rate bound (NOTES.md
+    round 4), so the rounded q is carried in the compute dtype.
     """
     from compactor_vllm_tpu.models.transformer import AttentionImpl
+
+    def _round_q_e4m3(q):
+        # Saturate like cast_to_cache: e4m3fn overflow encodes NaN.
+        q32 = jnp.clip(q.astype(jnp.float32), -448.0, 448.0)
+        return q32.astype(jnp.float8_e4m3fn).astype(q.dtype)
 
     def _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
                  score_chunks=False, clens=None):
@@ -1603,6 +1660,8 @@ def pallas_attention_impl(interpret: bool = False):
                         score_chunks=True, clens=clens)
 
     def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l, lens_l):
+        if fp8_query:
+            q = _round_q_e4m3(q)
         return paged_decode_attention(
             q, k_new, v_new, cache.kv_pages, pt_l, lens_l,
             layer * geom.rows_per_layer, meta.contig8,

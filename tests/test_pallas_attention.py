@@ -496,6 +496,112 @@ def test_decode_kernel_ring_path_matches_oracle(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
 
 
+def test_decode_kernel_megacore_path_matches_oracle():
+    """Megacore parts (v4/v5p): kernel selection must avoid the resident
+    kernels (whose cross-program prefetch assumes sequential grid order) and
+    take the self-contained ring kernel with explicit V masking + a
+    `parallel` batch dim. Forced via the tuning override; verified vs the
+    jnp oracle in interpret mode."""
+    from compactor_vllm_tpu.ops import tuning
+
+    import compactor_vllm_tpu.ops.pallas_attention as pa
+
+    rng = np.random.default_rng(11)
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = rng.integers(40, 90, size=(B, H)).astype(np.int32)
+    state, slots, alloc = build_cache(rng, [1] * B, cache_lens, return_alloc=True)
+    q = rng.normal(size=(B, H * 2, D)).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+    contig = np.stack([alloc.contig_groups(s_, 8) for s_ in slots]).astype(np.int32)
+    with tuning.override(megacore=True):
+        got = pa.paged_decode_attention(
+            jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            state.kv_pages,
+            jnp.asarray(pt), jnp.asarray(lens), 0, jnp.asarray(contig),
+            sm_scale=sm, page_size=PAGE, group_pages=8, interpret=True,
+        )
+    want = ref_decode_attention(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(slots),
+        max_cache_len=int(cache_lens.max()), sm_scale=sm,
+        k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
+
+
+def test_decode_fp8_query_rounds_through_e4m3():
+    """cfg.fp8_query: the impl's decode must equal the kernel fed a query
+    explicitly saturated and rounded through e4m3 (the reference's fp8 q
+    cast, sparse_decode_kernel.py:84,137-139)."""
+    import compactor_vllm_tpu.ops.pallas_attention as pa
+
+    rng = np.random.default_rng(13)
+    B, H, D = 2, GEOM.num_kv_heads, GEOM.head_dim
+    cache_lens = rng.integers(20, 60, size=(B, H)).astype(np.int32)
+    state, slots = build_cache(rng, [1] * B, cache_lens)
+    # Out-of-range values exercise the +-448 saturation.
+    q = (rng.normal(size=(B, H * 2, D)) * 300).astype(np.float32)
+    kn = rng.normal(size=(B, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, H, D)).astype(np.float32)
+    sm = 1.0 / np.sqrt(D)
+    pt = np.asarray(state.page_table)[0][slots]
+    lens = np.asarray(state.bh_lens)[0][slots]
+
+    impl = pa.pallas_attention_impl(interpret=True, fp8_query=True)
+
+    class MetaStub:
+        contig8 = None
+
+    got = impl.decode(
+        GEOM, state, 0, jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        MetaStub(), sm, jnp.asarray(pt), jnp.asarray(lens),
+    )
+    q_r = (
+        jnp.clip(jnp.asarray(q, jnp.float32), -448.0, 448.0)
+        .astype(jnp.float8_e4m3fn)
+        .astype(jnp.float32)
+    )
+    want = pa.paged_decode_attention(
+        q_r, jnp.asarray(kn), jnp.asarray(vn), state.kv_pages,
+        jnp.asarray(pt), jnp.asarray(lens), 0, None,
+        sm_scale=sm, page_size=PAGE, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_tuning_table_resolution(monkeypatch):
+    """Device-kind rows resolve in specificity order ("v5 lite" never hits
+    the v5p megacore row) and env vars override table values."""
+    from compactor_vllm_tpu.ops import tuning
+
+    def pick(kind):
+        low = kind.lower()
+        return next(
+            (v for k, v in tuning._TABLE if k in low), tuning._DEFAULT
+        )
+
+    assert pick("TPU v5 lite").megacore is False
+    assert pick("TPU v5p").megacore is True
+    assert pick("TPU v5").megacore is True
+    assert pick("TPU v4").megacore is True
+    assert pick("TPU v6 lite").decode_resident_tokens == 16384
+    assert pick("cpu") == tuning._DEFAULT
+    monkeypatch.setenv("CVT_DECODE_GROUP", "8")
+    monkeypatch.setenv("CVT_MEGACORE", "1")
+    t = tuning._apply_env(tuning.KernelTuning())
+    assert t.decode_group_pages == 8 and t.megacore is True
+    # override() restores the previous state on exit
+    before = tuning.get_tuning()
+    with tuning.override(decode_resident_tokens=256) as forced:
+        assert forced.decode_resident_tokens == 256
+        assert tuning.get_tuning().decode_resident_tokens == 256
+    assert tuning.get_tuning() == before
+
+
 def test_compact_store_fp8_saturates_no_nan():
     """ADVICE r3 (high): the fused compact+store kernel must saturate to
     +-448 before the e4m3fn cast, like cast_to_cache — otherwise one
