@@ -161,7 +161,7 @@ def main():
     attn = runner.attn
     orig_store = attn.store_sel
 
-    def store_probe(geom, cache, layer, k, v, sel, meta):
+    def store_probe(geom, cache, layer, k, v, sel, meta, cached_ph=None):
         cache = attn.store_full(geom, cache, layer, k, v, meta)
         keep = jnp.minimum(sel.rank.max() + sel.counts.sum(), 0).astype(jnp.int32)
         return cache._replace(bh_lens=cache.bh_lens + keep)

@@ -170,10 +170,20 @@ class LLMConfig:
     # (kv_cache/state.py store_decode_blocks). Auto-falls-back per batch when
     # a sequence's retained lengths are not page-aligned (requires
     # pad_retained_to_page) or the pool is too fragmented for aligned runs.
-    decode_block_append: bool = True
+    # DEFAULT OFF: measured on chip (round 4), XLA realizes the strided
+    # [H, 2D]-window scatter by transposing the ENTIRE pages buffer — a
+    # pool-sized temp copy per decode loop (OOM at the 8 GB bench pool) that
+    # no formulation of the view avoids (benchmarks/mb_scatter_mem.py). The
+    # allocator machinery stays for the deferred-flush append design.
+    decode_block_append: bool = False
     # GEMM weight storage: "auto" keeps the checkpoint dtype; "int8" applies
     # per-output-channel weight-only quantization at engine init
     # (layers/quant.py) — halves the weight bytes every decode step streams.
+    # "w8a8" additionally quantizes activations per-token and runs native
+    # int8 x int8 dots with int32 accumulation (the MXU's 2x int8 rate; TPU
+    # analog of the reference's vendored low-precision matmuls,
+    # triton_kernels/numerics_details/flexpoint.py). MoE expert stacks stay
+    # bf16 in both modes; embed/lm_head are weight-only in both.
     weight_dtype: str = "auto"
 
     # Compression.
@@ -217,7 +227,7 @@ class LLMConfig:
         ), "page size must be a power of two >= 8"
         assert 1 <= self.tensor_parallel_size <= 64
         assert 0.0 < self.hbm_utilization <= 1.0
-        if self.weight_dtype not in ("auto", "int8"):
+        if self.weight_dtype not in ("auto", "int8", "w8a8"):
             raise ValueError(
                 f"weight_dtype must be 'auto' or 'int8', got "
                 f"{self.weight_dtype!r}"

@@ -77,6 +77,13 @@ DECODE_OCCUPANCY = 0.66
 OOB_BLOCK = np.int32(2**30)
 
 
+def _decode_loop_early_exit() -> bool:
+    """Early-exit cond in the fused decode loop (skips dead iterations on
+    EOS-heavy workloads). Env-gated so its static-memory cost can be
+    A/B-probed on chip (CVT_DECODE_EARLY_EXIT=0 disables)."""
+    return os.environ.get("CVT_DECODE_EARLY_EXIT", "1") != "0"
+
+
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -145,10 +152,16 @@ class ModelRunner:
         self.mesh = mesh
         # Per-device shard of the model (heads/experts/vocab divided by tp).
         self.lspec = local_spec(spec, self.tp)
-        if cfg.weight_dtype == "int8":
+        if cfg.weight_dtype in ("int8", "w8a8"):
             from compactor_vllm_tpu.layers.quant import quantize_params_int8
 
             params = quantize_params_int8(params, spec)
+        if cfg.weight_dtype == "w8a8":
+            # Native int8 x int8 GEMMs with dynamic per-token activation
+            # quantization (layers/quant.py wdot a8 path).
+            from dataclasses import replace as _dc_replace
+
+            self.lspec = _dc_replace(self.lspec, act_quant=True)
         self._cache_dtype = cache_dtype
         # Attention backend is chosen before the pool derivation so the
         # measured-memory probe compiles the production kernels.
@@ -428,7 +441,7 @@ class ModelRunner:
                     i32, sharding=ns(cspecs.bh_lens)),
             )
             pspecs = param_pspecs(
-                self.spec, quantized=self.cfg.weight_dtype == "int8"
+                self.spec, quantized=self.cfg.weight_dtype in ("int8", "w8a8")
             )
             pshapes = jax.tree.map(
                 lambda x, s: sds(x.shape, x.dtype, sharding=ns(s)),
@@ -599,7 +612,7 @@ class ModelRunner:
         return jax.shard_map(
             wrapped,
             mesh=self.mesh,
-            in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype == "int8"), cache_pspecs(),
+            in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype in ("int8", "w8a8")), cache_pspecs(),
                       self._dp_meta_specs(meta_type), P(AXIS_DP), P()),
             out_specs=(cache_pspecs(), out_spec),
             check_vma=False,
@@ -704,6 +717,8 @@ class ModelRunner:
                     ), tokens
 
                 def step(carry, i):
+                    if not _decode_loop_early_exit():
+                        return live_step(carry, i)
                     # Early exit once every lane has terminated mid-chunk:
                     # skip the whole forward (EOS-heavy workloads otherwise
                     # pay for up to n_steps-1 dead iterations).
@@ -744,7 +759,7 @@ class ModelRunner:
                 loop = jax.shard_map(
                     loop,
                     mesh=self.mesh,
-                    in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype == "int8"), cache_pspecs(),
+                    in_specs=(param_pspecs(self.spec, quantized=self.cfg.weight_dtype in ("int8", "w8a8")), cache_pspecs(),
                               self._dp_meta_specs(DecodeMeta),
                               P(AXIS_DP), P(AXIS_DP), P(), P()),
                     out_specs=(cache_pspecs(), P()),

@@ -20,6 +20,7 @@ norm vectors and the tiny router table are never quantized.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -71,24 +72,65 @@ def quantize_params_int8(params: dict, spec) -> dict:
     return out
 
 
-def wdot(x, lp: dict, key: str):
+def quant_act(x):
+    """Dynamic per-token symmetric int8 quantization of activations.
+    Returns (x8, unit) with unit f32 shaped like x with the last axis
+    collapsed to 1."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    unit = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.clip(jnp.round(xf / unit), -127, 127).astype(jnp.int8)
+    return x8, unit
+
+
+def wdot(x, lp: dict, key: str, a8: bool = False):
     """x @ lp[key], transparently dequantizing int8 weights: the bf16 cast
     fuses into the dot; the per-output-channel scale applies to the
-    product."""
+    product.
+
+    a8 (weight_dtype="w8a8"): additionally quantize the ACTIVATIONS
+    per-token and run a native int8 x int8 `dot_general` with int32
+    accumulation — the MXU's 2x int8 rate path (TPU analog of the
+    reference's vendored low-precision matmuls,
+    triton_kernels/numerics_details/flexpoint.py). Dequantization applies
+    act_unit x weight_scale to the int32 product."""
     w = lp[key]
+    if w.dtype == jnp.int8 and a8:
+        x8, unit = quant_act(x)
+        y = jax.lax.dot_general(
+            x8, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            y.astype(jnp.float32) * unit * lp[key + "_scale"]
+        ).astype(x.dtype)
     if w.dtype == jnp.int8:
         y = x @ w.astype(x.dtype)
         return y * lp[key + "_scale"].astype(x.dtype)
     return x @ w
 
 
-def wdot_row(x, lp: dict, key: str, psum_partial, tp_axis):
+def wdot_row(x, lp: dict, key: str, psum_partial, tp_axis, a8: bool = False):
     """Row-parallel (contraction-sharded) x @ lp[key] reduced over tp.
     For int8 weights the per-output-channel scale is applied AFTER the psum:
     scales are replicated across shards, so dequantizing first would round
     each shard's partial product separately and break exact tp-vs-1 token
-    parity; scaling the reduced sum keeps the arithmetic identical to tp=1."""
+    parity; scaling the reduced sum keeps the arithmetic identical to tp=1.
+
+    With a8, each shard quantizes its activation SLICE independently (the
+    per-token amax is shard-local), so its int32 partial carries its own
+    unit and must be dequantized before the psum; w8a8 under tp therefore
+    differs from tp=1 by quantization granularity — documented, since the
+    path is already lossy by construction."""
     w = lp[key]
+    if w.dtype == jnp.int8 and a8:
+        x8, unit = quant_act(x)
+        y = jax.lax.dot_general(
+            x8, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = psum_partial(y.astype(jnp.float32) * unit, tp_axis)
+        return (y * lp[key + "_scale"]).astype(x.dtype)
     if w.dtype == jnp.int8:
         y = psum_partial(x @ w.astype(x.dtype), tp_axis)
         return y * lp[key + "_scale"].astype(x.dtype)

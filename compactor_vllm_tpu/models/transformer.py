@@ -78,6 +78,10 @@ class ModelSpec:
     # (l + 1) % decoder_sparse_step == 0.
     mlp_only_layers: tuple = ()
     decoder_sparse_step: int = 1
+    # weight_dtype="w8a8": dense GEMMs run native int8 x int8 dot_general
+    # with dynamic per-token activation quantization (layers/quant.py wdot).
+    # Set by the runner, not by model configs.
+    act_quant: bool = False
 
     @property
     def q_size(self) -> int:
@@ -349,7 +353,7 @@ def _attention_block(
     lens_l=None,  # [Bd, H] this layer's cached lengths (decode)
 ):
     N = normed.shape[0]
-    qkv = wdot(normed, lp, "qkv_proj")
+    qkv = wdot(normed, lp, "qkv_proj", a8=spec.act_quant)
     q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
     q = q.reshape(N, spec.num_q_heads, spec.head_dim)
     k = k.reshape(N, spec.num_kv_heads, spec.head_dim)
@@ -435,7 +439,8 @@ def _attention_block(
 
     # Row-parallel output projection: partial products reduced over the tp
     # axis (reference: layers/linear.py:149-153 all_reduce).
-    out = wdot_row(o.reshape(N, spec.q_size), lp, "o_proj", psum_partial, tp_axis)
+    out = wdot_row(o.reshape(N, spec.q_size), lp, "o_proj", psum_partial,
+                   tp_axis, a8=spec.act_quant)
     return cache, out, kv_out
 
 
@@ -447,8 +452,8 @@ def _mlp_block(
 
         return moe_block(spec, lp, x, tp_axis)
     return wdot_row(
-        silu_and_mul(wdot(x, lp, "gate_up_proj")), lp, "down_proj",
-        psum_partial, tp_axis,
+        silu_and_mul(wdot(x, lp, "gate_up_proj", a8=spec.act_quant)),
+        lp, "down_proj", psum_partial, tp_axis, a8=spec.act_quant,
     )
 
 

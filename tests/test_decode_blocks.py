@@ -165,7 +165,7 @@ def test_engine_block_alloc_failure_falls_back_cleanly():
         )
         return engine.generate_from_sequences(seqs, batch_compression=bp)
 
-    engine = make_engine((cfg, hf))
+    engine = make_engine((cfg, hf), decode_block_append=True)
     engine.runner.alloc.alloc_decode_blocks_batch = (
         lambda reqs: [None] * len(reqs)
     )
@@ -270,7 +270,9 @@ def test_uncompressed_page_aligned_prompt_uses_blocks():
     )
     hf = transformers.AutoModelForCausalLM.from_config(cfg)
     hf.eval()
-    engine = make_engine((cfg, hf))
+    # Opt-in: decode_block_append defaults OFF since round 4 (the window
+    # scatter forces a pool-sized XLA transpose copy; see config.py).
+    engine = make_engine((cfg, hf), decode_block_append=True)
     installed = []
     orig = engine.runner.alloc.alloc_decode_blocks_batch
 

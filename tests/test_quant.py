@@ -162,6 +162,102 @@ def test_int8_engine_e2e(moe):
         assert len(s.completion_token_ids) == 6
 
 
+def test_quant_act_roundtrip_error():
+    from compactor_vllm_tpu.layers.quant import quant_act
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(6, 96)).astype(np.float32)) * 13.0
+    x8, unit = quant_act(x)
+    assert x8.dtype == jnp.int8 and unit.shape == (6, 1)
+    err = jnp.abs(x8.astype(jnp.float32) * unit - x)
+    assert bool(jnp.all(err <= unit * 0.5 + 1e-6))
+    # all-zero row -> unit 1, zeros, no NaN
+    xz = x.at[2].set(0.0)
+    x8z, uz = quant_act(xz)
+    assert float(uz[2, 0]) == 1.0 and int(jnp.abs(x8z[2]).max()) == 0
+
+
+def test_wdot_a8_matches_fake_quant():
+    """The w8a8 path must equal the explicit int32 fake-quant computation:
+    int8 x int8 dot is exact in int32; dequant = act_unit x weight_scale."""
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32)) * 5.0
+    w8, s = quantize_tensor(w, -2)
+    lp = {"w": w8, "w_scale": s}
+    got = wdot(x, lp, "w", a8=True)
+    from compactor_vllm_tpu.layers.quant import quant_act
+
+    x8, unit = quant_act(x)
+    want = (
+        x8.astype(jnp.int32) @ w8.astype(jnp.int32)
+    ).astype(jnp.float32) * unit * s
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+    # and it is numerically close to the unquantized product (error grows
+    # ~sqrt(K) x quant step; loose bound — the strict check is above)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(x @ w), rtol=0.2, atol=1.0
+    )
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_w8a8_engine_e2e(moe):
+    """weight_dtype="w8a8": native int8 x int8 GEMMs with dynamic per-token
+    activation quantization run the full engine path (compression + decode).
+    Reference analog: triton_kernels' low-precision matmuls (flexpoint.py),
+    here as the MXU's 2x-rate int8 dot."""
+    spec = small_spec(moe)
+    params = init_params(spec, jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    cfg = LLMConfig(
+        max_num_seqs=4, max_model_len=128, kvcache_page_size=8,
+        num_kv_pages=128, eos=-2, seed=0, weight_dtype="w8a8",
+    )
+    eng = LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+    assert eng.runner.lspec.act_quant
+    seqs = [
+        Sequence(
+            prompt_token_ids=np.random.default_rng(7).integers(
+                0, spec.vocab_size, size=40
+            ).tolist(),
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=6),
+            compression_params=SequenceCompressionParams(
+                compression_ratio=0.5
+            ),
+        )
+        for _ in range(2)
+    ]
+    eng.generate_from_sequences(
+        seqs,
+        BatchCompressionParams(compression_method=CompressionMethod.COMPACTOR),
+    )
+    for s in seqs:
+        assert len(s.completion_token_ids) == 6
+        assert all(0 <= t < spec.vocab_size for t in s.completion_token_ids)
+
+
+def test_w8a8_tp2_runs():
+    """w8a8 under tp=2: per-shard activation quantization (documented
+    granularity difference vs tp=1) still runs end-to-end."""
+    spec = small_spec()
+    params = init_params(spec, jax.random.PRNGKey(3), dtype=jnp.float32)
+    cfg = LLMConfig(
+        max_num_seqs=4, max_model_len=128, kvcache_page_size=8,
+        num_kv_pages=128, eos=-2, seed=0, weight_dtype="w8a8",
+        tensor_parallel_size=2, dtype="float32",
+    )
+    eng = LLMEngine(cfg, spec=spec, params=params, tokenizer=None)
+    seqs = [
+        Sequence(
+            prompt_token_ids=list(range(2, 30)),
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=8),
+        )
+    ]
+    eng.generate_from_sequences(seqs)
+    assert len(seqs[0].completion_token_ids) == 8
+
+
 def test_int8_tp2_matches_tp1():
     """Sharding correctness: the blocked-column permutation + scale specs
     reproduce tp=1 int8 tokens exactly under tp=2."""
