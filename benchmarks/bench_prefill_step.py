@@ -11,7 +11,12 @@ The none->unfused delta is the total compression cost; unfused->fused is the
 fused-scoring win. This is the measurement VERDICT item 1 asks to drive
 (compression <= 15% of prefill wall time).
 
-Usage: python benchmarks/bench_prefill_step.py [repeats]
+Usage: python benchmarks/bench_prefill_step.py [repeats] [only=NAME]
+
+`only=NAME` runs a single variant (none / compactor_unfused / compactor_fused
+/ dummy_score / score_select_no_store) and exits — one process per variant so
+a TPU fault in one variant can't zero the others' measurements (the round-4
+crash lost the whole run).
 """
 
 from __future__ import annotations
@@ -46,7 +51,12 @@ def log(m):
 
 
 def main():
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("only=")]
+    only = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("only=")),
+        None,
+    )
+    repeats = int(args[0]) if args else 4
     spec = ModelSpec(
         model_type="qwen3", num_layers=28, num_q_heads=16, num_kv_heads=8,
         head_dim=128, hidden_size=2048, intermediate_size=6144,

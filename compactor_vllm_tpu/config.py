@@ -229,7 +229,7 @@ class LLMConfig:
         assert 0.0 < self.hbm_utilization <= 1.0
         if self.weight_dtype not in ("auto", "int8", "w8a8"):
             raise ValueError(
-                f"weight_dtype must be 'auto' or 'int8', got "
+                f"weight_dtype must be 'auto', 'int8', or 'w8a8', got "
                 f"{self.weight_dtype!r}"
             )
         if not self.enable_chunked_prefill:

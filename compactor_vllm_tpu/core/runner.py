@@ -77,6 +77,14 @@ DECODE_OCCUPANCY = 0.66
 OOB_BLOCK = np.int32(2**30)
 
 
+def _store_group() -> int:
+    # Lazy import: pallas_attention imports are deferred so CPU-only paths
+    # never pull in Pallas at module import time.
+    from compactor_vllm_tpu.ops.pallas_attention import STORE_GROUP
+
+    return STORE_GROUP
+
+
 def _decode_loop_early_exit() -> bool:
     """Early-exit cond in the fused decode loop (skips dead iterations on
     EOS-heavy workloads). Env-gated so its static-memory cost can be
@@ -384,7 +392,8 @@ class ModelRunner:
             # The engine always packs these (run_prefill group arrays):
             cached_lens=sds((b_pad,), i32),
             store_contig=sds(
-                (b_pad, H, cdiv(probe.max_pages_per_head, 8)), i32),
+                (b_pad, H, cdiv(probe.max_pages_per_head, _store_group())),
+                i32),
             head_cap=sds((b_pad,), i32),
         )
         if self.mesh is None:

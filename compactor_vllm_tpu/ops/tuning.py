@@ -26,6 +26,7 @@ Env overrides (all optional):
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 
 
@@ -58,12 +59,16 @@ class KernelTuning:
 # specific names come first ("TPU v5 lite" must not match the "TPU v5"
 # megacore row). Substrings are matched case-insensitively.
 _TABLE: tuple[tuple[str, KernelTuning], ...] = (
-    # v5e — the measured row (single TensorCore, 16 MiB VMEM).
+    # v5e — the measured row (single TensorCore, 16 MiB VMEM). Some stacks
+    # report the no-space kind "TPU v5lite".
     ("v5 lite", KernelTuning()),
+    ("v5lite", KernelTuning()),
     ("v5e", KernelTuning()),
     # v6e (Trillium): single TensorCore like v5e but 2x VMEM — double the
     # resident cutoff and ring budget; untuned estimate.
     ("v6 lite", KernelTuning(
+        decode_resident_tokens=16384, ring_budget_bytes=16 << 20)),
+    ("v6lite", KernelTuning(
         decode_resident_tokens=16384, ring_budget_bytes=16 << 20)),
     ("v6e", KernelTuning(
         decode_resident_tokens=16384, ring_budget_bytes=16 << 20)),
@@ -75,9 +80,15 @@ _TABLE: tuple[tuple[str, KernelTuning], ...] = (
     # v2/v3 expose each TensorCore as its own JAX device — no megacore.
     ("v3", KernelTuning(decode_resident_tokens=4096)),
     ("v2", KernelTuning(decode_resident_tokens=4096)),
+    # CPU (interpret-mode tests): grid execution is sequential, so the
+    # measured v5e row applies — keeps test coverage on the resident kernels.
+    ("cpu", KernelTuning()),
 )
 
-_DEFAULT = KernelTuning()
+# Unknown device kinds get the conservative row: megacore=True disables the
+# resident kernels (whose correctness assumes sequential grid execution and
+# shared scratch), which is always safe — just slower — on any future part.
+_DEFAULT = KernelTuning(megacore=True)
 
 # Test/benchmark override installed by `override(...)`; checked first.
 _FORCED: KernelTuning | None = None
@@ -124,7 +135,18 @@ def get_tuning() -> KernelTuning:
     if hit is not None:
         return hit
     low = kind.lower()
-    t = next((v for k, v in _TABLE if k in low), _DEFAULT)
+    t = next((v for k, v in _TABLE if k in low), None)
+    if t is None:
+        logging.getLogger(__name__).warning(
+            "unknown TPU device_kind %r: using conservative tuning "
+            "(megacore=True disables resident decode kernels); add a row to "
+            "ops/tuning.py or set CVT_* env overrides", kind)
+        t = _DEFAULT
+    if t.megacore:
+        logging.getLogger(__name__).info(
+            "megacore handling active for device_kind %r: ring decode kernel "
+            "with parallel batch dim (EXPERIMENTAL — interpret-validated "
+            "only, no dual-TensorCore hardware run exists)", kind)
     t = _apply_env(t)
     _cache[kind] = t
     return t

@@ -227,6 +227,8 @@ def test_chunked_compressed_decode_uses_blocks_and_matches_fallback():
         compression_method=CompressionMethod.COMPACTOR, chunk_size=16
     )
     eng = make_engine(spec, params, "pallas", chunked=True, budget=64)
+    # Block append defaults off; opt in so the install path is exercised.
+    eng.cfg.decode_block_append = True
     installed = []
     orig = eng.runner.alloc.alloc_decode_blocks_batch
 

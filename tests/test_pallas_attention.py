@@ -589,7 +589,13 @@ def test_tuning_table_resolution(monkeypatch):
     assert pick("TPU v5").megacore is True
     assert pick("TPU v4").megacore is True
     assert pick("TPU v6 lite").decode_resident_tokens == 16384
-    assert pick("cpu") == tuning._DEFAULT
+    # CPU (interpret tests) keeps the measured sequential-grid row; genuinely
+    # unknown kinds get the conservative megacore=True default.
+    assert pick("cpu").megacore is False
+    assert pick("TPU v9 hypothetical") == tuning._DEFAULT
+    assert tuning._DEFAULT.megacore is True
+    assert pick("TPU v5lite").megacore is False
+    assert pick("TPU v6lite").decode_resident_tokens == 16384
     monkeypatch.setenv("CVT_DECODE_GROUP", "8")
     monkeypatch.setenv("CVT_MEGACORE", "1")
     t = tuning._apply_env(tuning.KernelTuning())

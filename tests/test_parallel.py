@@ -103,6 +103,9 @@ def test_tp2_with_compression_runs():
     spec = small_spec()
     params = init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
     eng = make_engine(spec, params, tp=2)
+    # Block append is off by default (row-scatter fallback); opt in to
+    # exercise the page-aligned install path under tp.
+    eng.cfg.decode_block_append = True
     seqs = [
         Sequence(
             prompt_token_ids=np.random.default_rng(5).integers(
