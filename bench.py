@@ -7,6 +7,13 @@ retention. Reports total (prompt + generated) tokens per second.
 
 Runs on the real TPU chip (default platform). Weights are random-init bf16 —
 throughput is weight-value independent. Prints ONE JSON line.
+
+Per-phase checkpointing: each phase (parity, nocomp, headline) appends its
+result to BENCH_PARTIAL.json as it lands, so a TPU fault in a later phase
+still leaves the earlier measurements on disk (round 4 lost a 14,583 tok/s
+nocomp figure to a headline crash). The default run measures the
+uncompressed floor FIRST, then the compressed headline; `--headline-only`
+skips the floor, `--nocomp` measures only the floor.
 """
 
 from __future__ import annotations
@@ -19,6 +26,19 @@ import jax
 import numpy as np
 
 BASELINE_TOK_S = 30_349.0  # reference compactor-vllm, 1x H100, RULER-4K
+
+PARTIAL_PATH = "BENCH_PARTIAL.json"
+_partial: dict = {}
+
+
+def checkpoint(key, value):
+    """Record a phase result; survives a later-phase device fault."""
+    _partial[key] = value
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(_partial, f, indent=1)
+    except OSError:
+        pass
 
 
 def log(msg):
@@ -82,6 +102,7 @@ def main():
             }))
             sys.exit(1)
         log("parity preamble ok")
+        checkpoint("parity", "ok")
 
     # Qwen3-1.7B geometry (largest dense config that comfortably fits a 16GB
     # v5e chip alongside an 8GB KV pool).
@@ -129,56 +150,88 @@ def main():
             for _ in range(n_requests)
         ]
 
-    bp = BatchCompressionParams(
-        compression_method=(
-            CompressionMethod.NONE if nocomp else CompressionMethod.COMPACTOR
-        ),
-        chunk_size=512,
-    )
+    def measure(tag, method):
+        bp = BatchCompressionParams(compression_method=method, chunk_size=512)
+        log(f"[{tag}] warmup (compiles prefill + decode at full shapes)...")
+        t0 = time.perf_counter()
+        engine.generate_from_sequences(make_seqs(), bp)
+        log(f"[{tag}] warmup done in {time.perf_counter() - t0:.1f}s")
+        log(f"[{tag}] timed run: {n_requests} x "
+            f"({prompt_len} prompt + {new_tokens} new)...")
+        seqs = make_seqs()
+        t0 = time.perf_counter()
+        outs = engine.generate_from_sequences(seqs, bp)
+        dt = time.perf_counter() - t0
+        total_tokens = sum(s.seq.num_tokens for s in outs)
+        tok_s = total_tokens / dt
+        log(f"[{tag}] {total_tokens} tokens in {dt:.2f}s = {tok_s:.0f} tok/s")
+        log(f"[{tag}] phases: {engine.last_stats.summary()}")
+        # Peak KV memory (BASELINE.md second headline: 60.3 GB uncompressed
+        # vs 31.3 GB at 50% on the reference's H100 run).
+        geom = engine.runner.geom
+        itemsize = jnp.dtype(engine.runner._cache_dtype).itemsize
+        page_bytes = 2 * geom.page_size * geom.head_dim * itemsize  # k+v
+        peak_gb = (engine.runner.alloc.peak_used_pages * page_bytes
+                   * geom.num_layers / 2**30)
+        log(f"[{tag}] peak KV in use: {peak_gb:.2f} GB (pool "
+            f"{geom.num_pages * page_bytes * geom.num_layers / 2**30:.2f} GB)")
+        full_pages = (
+            n_requests * geom.num_kv_heads
+            * -(-(prompt_len + new_tokens) // geom.page_size)
+        )
+        full_gb = full_pages * page_bytes * geom.num_layers / 2**30
+        log(f"[{tag}] uncompressed KV for this workload would need "
+            f"{full_gb:.2f} GB -> peak ratio {peak_gb / full_gb:.2f} "
+            f"(reference @50%: ~0.52)")
+        checkpoint(tag, {
+            "tok_s": round(tok_s, 1), "peak_kv_gb": round(peak_gb, 2),
+        })
+        return tok_s
 
-    log("warmup (compiles prefill + decode programs at full shapes)...")
-    t0 = time.perf_counter()
-    engine.generate_from_sequences(make_seqs(), bp)
-    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+    suffix = "_fp8kv" if fp8 else ""
+    if nocomp:
+        tok_s = measure("uncompressed", CompressionMethod.NONE)
+        print(json.dumps({
+            "metric": f"ruler4k_throughput_qwen3_1.7b_uncompressed{suffix}",
+            "value": round(tok_s, 1),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+        }))
+        return
 
-    log(f"timed run: {n_requests} x ({prompt_len} prompt + {new_tokens} new)...")
-    seqs = make_seqs()
-    t0 = time.perf_counter()
-    outs = engine.generate_from_sequences(seqs, bp)
-    dt = time.perf_counter() - t0
-    total_tokens = sum(s.seq.num_tokens for s in outs)
-    tok_s = total_tokens / dt
-    log(f"{total_tokens} tokens in {dt:.2f}s")
-    log(f"phases: {engine.last_stats.summary()}")
-    # Peak KV memory (BASELINE.md second headline: 60.3 GB uncompressed vs
-    # 31.3 GB at 50% on the reference's H100 run).
-    geom = engine.runner.geom
-    itemsize = jnp.dtype(engine.runner._cache_dtype).itemsize
-    page_bytes = 2 * geom.page_size * geom.head_dim * itemsize  # k+v rows
-    peak_gb = engine.runner.alloc.peak_used_pages * page_bytes * geom.num_layers / 2**30
-    log(f"peak KV in use: {peak_gb:.2f} GB "
-        f"(pool {geom.num_pages * page_bytes * geom.num_layers / 2**30:.2f} GB)")
-    # Uncompressed requirement for the same workload (every (seq, head) keeps
-    # prompt+new tokens) — the reference's memory headline is the ratio
-    # (60.3 -> 31.3 GB at 50% on H100, BASELINE.md).
-    full_pages = (
-        n_requests * geom.num_kv_heads
-        * -(-(prompt_len + new_tokens) // geom.page_size)
-    )
-    full_gb = full_pages * page_bytes * geom.num_layers / 2**30
-    log(
-        f"uncompressed KV for this workload would need {full_gb:.2f} GB "
-        f"-> peak ratio {peak_gb / full_gb:.2f} (reference @50%: ~0.52)"
-    )
+    floor = None
+    if "--headline-only" not in sys.argv:
+        # Measure the uncompressed floor FIRST: if the compressed phase
+        # faults, the floor (and the retention denominator) is already on
+        # disk in BENCH_PARTIAL.json.
+        floor = measure("uncompressed", CompressionMethod.NONE)
 
-    print(json.dumps({
-        "metric": "ruler4k_throughput_qwen3_1.7b_"
-        + ("uncompressed" if nocomp else "compactor50")
-        + ("_fp8kv" if fp8 else ""),
+    try:
+        tok_s = measure("compactor50", CompressionMethod.COMPACTOR)
+    except Exception as e:  # noqa: BLE001 — report the floor, not nothing
+        err = f"{type(e).__name__}: {str(e)[:200]}"
+        checkpoint("headline_error", err)
+        if floor is not None:
+            print(json.dumps({
+                "metric": f"ruler4k_throughput_qwen3_1.7b_uncompressed{suffix}",
+                "value": round(floor, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(floor / BASELINE_TOK_S, 4),
+                "error": f"compressed headline phase FAILED ({err}); "
+                         "reporting the uncompressed floor",
+            }))
+            sys.exit(1)
+        raise
+    out = {
+        "metric": f"ruler4k_throughput_qwen3_1.7b_compactor50{suffix}",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
-    }))
+    }
+    if floor is not None:
+        out["retention_vs_uncompressed"] = round(tok_s / floor, 4)
+        checkpoint("retention_vs_uncompressed", out["retention_vs_uncompressed"])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

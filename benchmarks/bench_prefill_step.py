@@ -134,61 +134,88 @@ def main():
         results[name] = dt * 1e3
         return dt
 
-    log("compiling + timing variants...")
-    run_variant("none", BatchCompressionParams(CompressionMethod.NONE))
-    run_variant(
-        "compactor_unfused",
-        BatchCompressionParams(CompressionMethod.COMPACTOR),
-        force_fused=False,
-    )
-    run_variant(
-        "compactor_fused",
-        BatchCompressionParams(CompressionMethod.COMPACTOR),
-        force_fused=True,
-    )
+    def v_none():
+        run_variant("none", BatchCompressionParams(CompressionMethod.NONE))
 
-    # ---- isolation variants ------------------------------------------------
-    # (a) dummy scoring: trivial [T, H] scores -> isolates topk + store + glue.
-    from compactor_vllm_tpu.compression import COMPRESSION_REGISTRY, ScoringMethod
-
-    def dummy_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
-                    postrope_colmass=None):
-        return k_post[:, :, 0].astype(jnp.float32)
-
-    orig_m = COMPRESSION_REGISTRY["compactor"]
-    COMPRESSION_REGISTRY["compactor"] = ScoringMethod(score=dummy_score)
-    try:
+    def v_unfused():
         run_variant(
-            "dummy_score",
+            "compactor_unfused",
             BatchCompressionParams(CompressionMethod.COMPACTOR),
+            force_fused=False,
         )
-    finally:
-        COMPRESSION_REGISTRY["compactor"] = orig_m
 
-    # (b) store probe: real scoring + threshold selection, but the fused
-    # compact store is replaced by a full store plus a data dependency that
-    # keeps the selection alive -> isolates the compact+store kernel cost.
-    attn = runner.attn
-    orig_store = attn.store_sel
-
-    def store_probe(geom, cache, layer, k, v, sel, meta, cached_ph=None):
-        cache = attn.store_full(geom, cache, layer, k, v, meta)
-        keep = jnp.minimum(sel.rank.max() + sel.counts.sum(), 0).astype(jnp.int32)
-        return cache._replace(bh_lens=cache.bh_lens + keep)
-
-    object.__setattr__(attn, "store_sel", store_probe)
-    try:
+    def v_fused():
         run_variant(
-            "score_select_no_store",
+            "compactor_fused",
             BatchCompressionParams(CompressionMethod.COMPACTOR),
             force_fused=True,
         )
-    finally:
-        object.__setattr__(attn, "store_sel", orig_store)
-    base = results["none"]
-    for k in ("compactor_unfused", "compactor_fused"):
-        results[f"{k}_overhead_pct"] = 100.0 * (results[k] - base) / results[k]
-        log(f"  {k}: compression = {results[f'{k}_overhead_pct']:.1f}% of step")
+
+    def v_dummy():
+        # dummy scoring: trivial [T, H] scores -> isolates select + store + glue.
+        from compactor_vllm_tpu.compression import (
+            COMPRESSION_REGISTRY,
+            ScoringMethod,
+        )
+
+        def dummy_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                        postrope_colmass=None):
+            return k_post[:, :, 0].astype(jnp.float32)
+
+        orig_m = COMPRESSION_REGISTRY["compactor"]
+        COMPRESSION_REGISTRY["compactor"] = ScoringMethod(score=dummy_score)
+        try:
+            run_variant(
+                "dummy_score",
+                BatchCompressionParams(CompressionMethod.COMPACTOR),
+            )
+        finally:
+            COMPRESSION_REGISTRY["compactor"] = orig_m
+
+    def v_nostore():
+        # store probe: real scoring + threshold selection, but the fused
+        # compact store is replaced by a full store plus a data dependency
+        # that keeps the selection alive -> isolates the compact+store cost.
+        attn = runner.attn
+        orig_store = attn.store_sel
+
+        def store_probe(geom, cache, layer, k, v, sel, meta, cached_ph=None):
+            cache = attn.store_full(geom, cache, layer, k, v, meta)
+            keep = jnp.minimum(
+                sel.rank.max() + sel.counts.sum(), 0
+            ).astype(jnp.int32)
+            return cache._replace(bh_lens=cache.bh_lens + keep)
+
+        object.__setattr__(attn, "store_sel", store_probe)
+        try:
+            run_variant(
+                "score_select_no_store",
+                BatchCompressionParams(CompressionMethod.COMPACTOR),
+                force_fused=True,
+            )
+        finally:
+            object.__setattr__(attn, "store_sel", orig_store)
+
+    variants = {
+        "none": v_none,
+        "compactor_unfused": v_unfused,
+        "compactor_fused": v_fused,
+        "dummy_score": v_dummy,
+        "score_select_no_store": v_nostore,
+    }
+    log("compiling + timing variants...")
+    if only is not None:
+        variants[only]()
+    else:
+        for fn in variants.values():
+            fn()
+        base = results["none"]
+        for k in ("compactor_unfused", "compactor_fused"):
+            results[f"{k}_overhead_pct"] = (
+                100.0 * (results[k] - base) / results[k]
+            )
+            log(f"  {k}: compression = "
+                f"{results[f'{k}_overhead_pct']:.1f}% of step")
     print(json.dumps(results))
 
 
