@@ -176,6 +176,14 @@ class LLMConfig:
     # no formulation of the view avoids (benchmarks/mb_scatter_mem.py). The
     # allocator machinery stays for the deferred-flush append design.
     decode_block_append: bool = False
+    # Deferred decode append: the fused decode loop accumulates its steps'
+    # K/V in a recent-window buffer that attention reads as an extra operand,
+    # and flushes the whole window to the paged cache once per loop with
+    # F-aligned contiguous-window scatters (kv_cache/state.py
+    # flush_decode_window) — replacing n_steps row scatters (~2.95 ms/step at
+    # B=64, NOTES.md round 4). Ignored when decode_block_append engages.
+    # Reference appends per token in-kernel (store_kv_cache.py:374-466).
+    decode_window_append: bool = True
     # GEMM weight storage: "auto" keeps the checkpoint dtype; "int8" applies
     # per-output-channel weight-only quantization at engine init
     # (layers/quant.py) — halves the weight bytes every decode step streams.

@@ -331,6 +331,101 @@ def store_decode_blocks(
     return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
 
 
+def flush_decode_window(
+    geom: KVCacheGeometry,
+    state: KVCacheState,
+    recent: jax.Array,  # [L, Bd, H, W, 2D] loop window (K | V lanes)
+    lens0: jax.Array,  # [L, Bd, H] pre-loop cached lengths
+    appended: jax.Array,  # [Bd] tokens appended during the loop
+    slots: jax.Array,  # [Bd]
+    valid: jax.Array,  # [Bd] bool
+    pt_sel: jax.Array,  # [L, Bd, H, maxp] pre-gathered page-table rows
+) -> KVCacheState:
+    """Flush a fused decode loop's recent-token window to the paged cache.
+
+    The deferred decode append (reference appends per token in-kernel,
+    kv_cache/store_kv_cache.py:374-466; the row-scatter analog here costs
+    ~2.95 ms/step at B=64 — NOTES.md round 4) accumulates the loop's W steps
+    of K/V in `recent` (attention reads it as a window operand) and lands
+    them in ONE pass of contiguous-window scatters: per (layer, lane, head),
+    the appended run [s, s+n) is covered by F-token, F-aligned blocks
+    (F = min(W, page) divides the page, so a block never straddles pages —
+    XLA realizes page-straddling scatters by transposing the whole pool,
+    mb_scatter_mem). Block 0 may start before `s`; those rows are re-written
+    with their current cache values (one F-row gather). Rows past `s + n`
+    inside a kept block receive window garbage — harmless, `bh_lens` bounds
+    every reader and the page is owned by this head.
+    """
+    L, Bd, H, W, D2 = recent.shape
+    page = geom.page_size
+    maxp = pt_sel.shape[-1]
+    F = min(W, page)
+    NB = W // F + 1  # F-aligned blocks covering [floor(s/F)*F, s + W)
+    s = lens0  # [L, Bd, H]
+    n = appended[None, :, None].astype(jnp.int32)  # [1, Bd, 1]
+    w0 = (s // F) * F
+    layer_rows = (
+        jnp.arange(L, dtype=jnp.int32)[:, None, None] * geom.rows_per_layer
+    )
+    offs = jnp.arange(F, dtype=jnp.int32)
+
+    def block_start_rows(t0):
+        """Cache row of token t0 (t0 F-aligned -> inside one page)."""
+        pcol = jnp.minimum(t0 // page, maxp - 1)
+        pid = jnp.take_along_axis(pt_sel, pcol[..., None], axis=3)[..., 0]
+        return layer_rows + pid * page + t0 % page  # [L, Bd, H]
+
+    # Seed block 0 with current cache contents for rows in [w0, s).
+    rows0 = block_start_rows(w0)
+    seed = state.kv_pages[
+        jnp.clip(rows0[..., None] + offs, 0, state.kv_pages.shape[0] - 1)
+    ]  # [L, Bd, H, F, 2D]
+
+    blocks, starts, keep = [], [], []
+    for j in range(NB):
+        t0 = w0 + j * F
+        tok = t0[..., None] + offs  # [L, Bd, H, F]
+        rel = jnp.clip(tok - s[..., None], 0, W - 1)
+        newv = jnp.take_along_axis(recent, rel[..., None], axis=3)
+        if j == 0:
+            newv = jnp.where(
+                (tok < s[..., None])[..., None], seed.astype(recent.dtype),
+                newv,
+            )
+        blocks.append(newv)
+        starts.append(block_start_rows(t0))
+        # Keep blocks containing at least one appended row, on live lanes.
+        keep.append((t0 < s + n) & (n > 0) & valid[None, :, None])
+    upd = cast_to_cache(jnp.stack(blocks, axis=3), state.kv_pages.dtype)
+    start_rows = jnp.stack(starts, axis=3)  # [L, Bd, H, NB]
+    keep_m = jnp.stack(keep, axis=3)
+    start_rows = jnp.where(keep_m, start_rows, geom.total_rows)
+    idx = jnp.stack(
+        [start_rows.reshape(-1), jnp.zeros(L * Bd * H * NB, jnp.int32)],
+        axis=-1,
+    )  # [(N), 2] (row_start, lane 0)
+    kv_pages = jax.lax.scatter(
+        state.kv_pages,
+        idx,
+        upd.reshape(-1, F, D2),
+        jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1),
+        ),
+        indices_are_sorted=False,
+        unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+    new_lens = s + n * valid[None, :, None].astype(jnp.int32)
+    B = state.bh_lens.shape[1]
+    safe_slots = jnp.where(valid, slots, B)
+    bh_lens = state.bh_lens.at[:, safe_slots].set(
+        jnp.where(valid[None, :, None], new_lens, 0), mode="drop"
+    )
+    return state._replace(kv_pages=kv_pages, bh_lens=bh_lens)
+
+
 def store_decode(
     geom: KVCacheGeometry,
     state: KVCacheState,

@@ -274,11 +274,12 @@ def reference_attention_impl(max_cache_len_prefill: int, max_cache_len_decode: i
         )
 
     def decode(geom, cache, layer, q, k_new, v_new, meta: DecodeMeta, sm_scale,
-               pt_l=None, lens_l=None):
+               pt_l=None, lens_l=None, win_kv=None, win_cnt=None):
         return ref_decode_attention(
             geom, cache, layer, q, meta.slots,
             max_cache_len=max_cache_len_decode, sm_scale=sm_scale,
             k_new=k_new, v_new=v_new, pt_l=pt_l, lens_l=lens_l,
+            win_kv=win_kv, win_cnt=win_cnt,
         )
 
     return AttentionImpl(prefill=prefill, decode=decode)
@@ -351,6 +352,8 @@ def _attention_block(
     tp_axis: str | None,
     pt_l=None,  # [Bd, H, maxp] this layer's page-table rows (decode)
     lens_l=None,  # [Bd, H] this layer's cached lengths (decode)
+    win_l=None,  # [Bd, H, W, 2D] this layer's unflushed loop window (decode)
+    win_cnt=None,  # [Bd] valid window entries
 ):
     N = normed.shape[0]
     qkv = wdot(normed, lp, "qkv_proj", a8=spec.act_quant)
@@ -387,10 +390,17 @@ def _attention_block(
             # Per-head cached lengths: zero for fresh prefills, the RAGGED
             # per-(head) retained counts of earlier compressed chunks for
             # chunked-prefill continuations (read pre-store — attention runs
-            # before the compressed store in this branch).
+            # before the compressed store in this branch). MASKED by the
+            # host's cached_lens signal: device bh_lens can be STALE for a
+            # fresh prefill (slots are reused after release without a device
+            # lens reset), and stale lens here once drove the compressed
+            # store past the slot's page reservation — OOB page-table reads
+            # feeding wild DMAs (the round-3/4 16K-bench TPU fault; NOTES.md
+            # round 5 post-mortem).
             cached_ph = jax.lax.dynamic_index_in_dim(
                 cache.bh_lens, layer, 0, keepdims=False
             )[m.slots]  # [Bp, H]
+            cached_ph = jnp.where(m.cached_lens[:, None] > 0, cached_ph, 0)
             colmass = None
             if comp.fused_postrope and attn.prefill_scored is not None:
                 o, colmass = attn.prefill_scored(
@@ -434,7 +444,7 @@ def _attention_block(
         # cost that would serialize the scan).
         m: DecodeMeta = meta
         o = attn.decode(geom, cache, layer, q, k, v, m, spec.sm_scale,
-                        pt_l, lens_l)
+                        pt_l, lens_l, win_kv=win_l, win_cnt=win_cnt)
         kv_out = (k, v)
 
     # Row-parallel output projection: partial products reduced over the tp
@@ -508,6 +518,7 @@ def forward(
     pt_sel=None,
     lens_sel=None,
     dec_blocks: bool = False,
+    dec_window=None,  # (recent [L, Bd, H, W, 2D], cnt [Bd]): deferred append
 ):
     """Run the full decoder; returns (cache, final hidden states [N, hidden]).
 
@@ -524,6 +535,12 @@ def forward(
     page-table/length slot gathers out of its step scan (pages never change
     mid-decode and lengths advance deterministically) — the per-step gathers
     cost ~2 ms on a 7 GB cache.
+
+    `dec_window` (decode) defers the cache append entirely: attention reads
+    the loop's unflushed recent tokens from the window operand, the store is
+    SKIPPED, and forward returns (cache, hidden, (k_all, v_all)) so the loop
+    can accumulate the step into its window (flush_decode_window lands the
+    whole window once per loop).
     """
     x = vocab_parallel_embed(
         params["embed"], meta.input_ids, tp_axis,
@@ -549,9 +566,12 @@ def forward(
     def make_layer_fn(moe: bool):
         def layer_fn(carry, xs):
             x, residual, cache = carry
+            win_l = None
             if is_prefill:
                 lp, layer = xs
                 pt_l = lens_l = None
+            elif dec_window is not None:
+                lp, layer, pt_l, lens_l, win_l = xs
             else:
                 lp, layer, pt_l, lens_l = xs
             normed, residual = rms_norm_fused_add(
@@ -561,7 +581,8 @@ def forward(
                 spec, geom, lp, layer, cache, normed, meta.positions,
                 is_prefill=is_prefill, meta=meta, comp=comp, attn=attn,
                 max_q=max_q, inv_freq=inv_freq, tp_axis=tp_axis,
-                pt_l=pt_l, lens_l=lens_l,
+                pt_l=pt_l, lens_l=lens_l, win_l=win_l,
+                win_cnt=None if dec_window is None else dec_window[1],
             )
             normed, residual = rms_norm_fused_add(
                 attn_out, residual, lp["post_norm"], spec.rms_norm_eps
@@ -579,15 +600,25 @@ def forward(
     for a, b, kind in spec.segments:
         lp_seg = _segment_layers(params["layers"], spec, a, b, kind)
         layer_ids = jnp.arange(a, b, dtype=jnp.int32)
-        xs = (lp_seg, layer_ids) if is_prefill else (
-            lp_seg, layer_ids, pt_sel[a:b], lens_sel[a:b]
-        )
+        if is_prefill:
+            xs = (lp_seg, layer_ids)
+        elif dec_window is not None:
+            xs = (lp_seg, layer_ids, pt_sel[a:b], lens_sel[a:b],
+                  dec_window[0][a:b])
+        else:
+            xs = (lp_seg, layer_ids, pt_sel[a:b], lens_sel[a:b])
         carry, kv_seg = jax.lax.scan(make_layer_fn(kind), carry, xs)
         kv_segs.append(kv_seg)
     x, residual, cache = carry
     if not is_prefill:
         k_all = jnp.concatenate([kv[0] for kv in kv_segs], axis=0)
         v_all = jnp.concatenate([kv[1] for kv in kv_segs], axis=0)  # [L, Bd, H, D]
+        if dec_window is not None:
+            # Deferred append: the loop owns the window + flush; no store.
+            hidden, _ = rms_norm_fused_add(
+                x, residual, params["final_norm"], spec.rms_norm_eps
+            )
+            return cache, hidden, (k_all, v_all)
         if dec_blocks:
             # Aligned decode blocks: the step's L*Bd*H rows collapse to
             # L*Bd [H, 2D] windows (see store_decode_blocks). dec_blk's

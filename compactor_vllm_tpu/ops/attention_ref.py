@@ -186,10 +186,13 @@ def ref_decode_attention(
     v_new: jax.Array | None = None,
     pt_l: jax.Array | None = None,
     lens_l: jax.Array | None = None,
+    win_kv: jax.Array | None = None,  # [Bd, H, W, 2D] unflushed loop window
+    win_cnt: jax.Array | None = None,  # [Bd] valid window entries
 ) -> jax.Array:
     """Oracle decode attention over the cached per-head prefix plus (when
     given) the step's own K/V merged in-register — the cache append is
-    deferred and batched (see store_decode_all_layers)."""
+    deferred and batched (see store_decode_all_layers) — plus the optional
+    deferred-append loop window (flush_decode_window)."""
     Bd, HQ, D = q.shape
     k_c, v_c, lens = gather_cache_dense(
         geom, state, layer, slots, max_cache_len, pt_l, lens_l
@@ -201,6 +204,16 @@ def ref_decode_attention(
     mask = jnp.arange(max_cache_len)[None, None, :] < lens[:, :, None]
     s = jnp.where(mask[:, :, None, :], s, NEG_INF)
     v_all = v_c.astype(jnp.float32)
+    if win_kv is not None:
+        W = win_kv.shape[2]
+        k_w = win_kv[..., :D].astype(jnp.float32)
+        v_w = win_kv[..., D:].astype(jnp.float32)
+        s_w = jnp.einsum("bhgd,bhwd->bhgw", qf, k_w) * sm_scale
+        wmask = jnp.arange(W)[None, :] < win_cnt[:, None]  # [Bd, W]
+        s_w = jnp.where(wmask[:, None, None, :], s_w, NEG_INF)
+        v_w = jnp.where(wmask[:, None, :, None], v_w, 0.0)
+        s = jnp.concatenate([s, s_w], axis=-1)
+        v_all = jnp.concatenate([v_all, v_w], axis=2)
     if k_new is not None:
         s_self = jnp.einsum(
             "bhgd,bhd->bhg", qf, k_new.astype(jnp.float32)

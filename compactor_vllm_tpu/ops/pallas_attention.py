@@ -467,14 +467,45 @@ def decode_group_pages() -> int:
     return DECODE_GROUP if DECODE_GROUP is not None else get_tuning().decode_group_pages
 
 
+def _window_logits(q, wkv, cnt, scale):
+    """Recent-window QK logits for the deferred decode append: `wkv`
+    [W, 2D] holds the K/V of tokens appended during the current fused decode
+    loop but not yet flushed to the paged cache (runner flush_decode_window);
+    entries >= `cnt` are garbage and masked. Returns (s_w [G, W] NEG_INF-
+    masked, v_w [W, D] zero-masked — window rows can hold NaN from dead
+    lanes' garbage compute, and 0 x NaN = NaN in the PV dot)."""
+    W = wkv.shape[0]
+    D = wkv.shape[1] // 2
+    k_w = wkv[:, :D]
+    v_w = wkv[:, D:].astype(jnp.float32)
+    if W == 1:
+        # VPU mul+reduce (a [G, 1] matvec trips a Mosaic broadcast bug).
+        s_w = jnp.sum(
+            q.astype(jnp.float32) * k_w.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        ) * scale
+    else:
+        s_w = jax.lax.dot_general(
+            q, k_w.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, W]
+    wpos_row = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], W), 1)
+    s_w = jnp.where(wpos_row < cnt, s_w, NEG_INF)
+    wpos_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    v_w = jnp.where(wpos_col < cnt, v_w, 0.0)
+    return s_w, v_w
+
+
 def _decode_kernel_resident(
     lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
     contig_ref,  # [Bd, H, ceil(maxp/GROUP)] i32 contiguous-run group flags
+    wcnt_ref,  # [Bd] i32 valid recent-window entries per lane
     base_ref,  # [1] i32
     q_ref,  # [Bd, H, G, D] VMEM
     kn_ref,  # [Bd, H, 1, D] VMEM — this step's key (merged in-register)
     vn_ref,  # [Bd, H, 1, D] VMEM
+    wkv_ref,  # [Bd, H, W, 2D] VMEM — unflushed loop window (K | V lanes)
     kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
     kv_buf,  # [NS, CTX, 2D] whole per-(b,h) interleaved K/V ring
@@ -620,17 +651,24 @@ def _decode_kernel_resident(
     kpos = jax.lax.broadcasted_iota(jnp.int32, (G, CTX), 1)
     s = jnp.where(kpos < length, s, NEG_INF)
 
-    # Single softmax (no online chain): include the step's own key.
+    # Single softmax (no online chain): include the step's own key and the
+    # unflushed loop window (deferred decode append).
     k_self = kn_ref[b, h]  # [1, D]
     v_self = vn_ref[b, h]
     s_self = jnp.sum(
         q.astype(jnp.float32) * k_self.astype(jnp.float32),
         axis=-1, keepdims=True,
     ) * scale  # [G, 1] (VPU: a [G,1] MXU matvec trips a Mosaic verifier bug)
+    s_w, v_w = _window_logits(q, wkv_ref[b, h], wcnt_ref[b], scale)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+    m = jnp.maximum(m, jnp.max(s_w, axis=-1, keepdims=True))
     p = jnp.exp2(s - m)
     p_self = jnp.exp2(s_self - m)
-    l = jnp.sum(p, axis=-1, keepdims=True) + p_self
+    p_w = jnp.exp2(s_w - m)  # [G, W]
+    l = (
+        jnp.sum(p, axis=-1, keepdims=True) + p_self
+        + jnp.sum(p_w, axis=-1, keepdims=True)
+    )
     # V is used UNMASKED: p is exactly 0 for every row >= length, and ring
     # contents are finite (zeroed at program 0; afterwards always fetched
     # cache rows) — dropping the [CTX, D] select saves a full V copy through
@@ -640,6 +678,12 @@ def _decode_kernel_resident(
         p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
     )  # [G, D] — contraction-dim streaming pipelines
     acc = acc + p_self * v_self.astype(jnp.float32)
+    if wkv_ref.shape[2] == 1:
+        acc = acc + p_w * v_w
+    else:
+        acc = acc + jax.lax.dot(
+            p_w.astype(jnp.float32), v_w, preferred_element_type=jnp.float32
+        )
     out = acc / jnp.where(l > 0, l, 1.0)
     o_ref[b, h] = out.astype(o_ref.dtype)
 
@@ -655,10 +699,12 @@ def _decode_kernel_resident_multi(
     lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
     contig_ref,  # [Bd, H, NG] i32 contiguous-run group flags
+    wcnt_ref,  # [Bd] i32 valid recent-window entries per lane
     base_ref,  # [1] i32
     q_ref,  # [Bd, H, G, D] VMEM
     kn_ref,  # [Bd, H, 1, D] VMEM
     vn_ref,  # [Bd, H, 1, D] VMEM
+    wkv_ref,  # [Bd, H, W, 2D] VMEM — unflushed loop window (K | V lanes)
     kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
     kv_buf,  # [2, PP, CTX, 2D] ring: PP pairs per program, double-buffered
@@ -780,15 +826,28 @@ def _decode_kernel_resident_multi(
             q.astype(jnp.float32) * k_self.astype(jnp.float32),
             axis=-1, keepdims=True,
         ) * scale
+        s_w, v_w = _window_logits(q, wkv_ref[b, h], wcnt_ref[b], scale)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+        m = jnp.maximum(m, jnp.max(s_w, axis=-1, keepdims=True))
         pw = jnp.exp2(s - m)
         p_self = jnp.exp2(s_self - m)
-        l = jnp.sum(pw, axis=-1, keepdims=True) + p_self
+        p_w = jnp.exp2(s_w - m)
+        l = (
+            jnp.sum(pw, axis=-1, keepdims=True) + p_self
+            + jnp.sum(p_w, axis=-1, keepdims=True)
+        )
         v_tile = _upcast_tile(kv_buf[slot, p, :, pl.ds(D, D)], q.dtype)
         acc = jax.lax.dot(
             pw.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
         )
         acc = acc + p_self * v_self.astype(jnp.float32)
+        if wkv_ref.shape[2] == 1:
+            acc = acc + p_w * v_w
+        else:
+            acc = acc + jax.lax.dot(
+                p_w.astype(jnp.float32), v_w,
+                preferred_element_type=jnp.float32,
+            )
         out = acc / jnp.where(l > 0, l, 1.0)
         o_ref[b, h] = out.astype(o_ref.dtype)
 
@@ -797,10 +856,12 @@ def _decode_kernel(
     lens_ref,  # [Bd, H] i32 cached (pre-append) lengths
     pt_ref,  # [Bd, H, maxp] i32
     contig_ref,  # [Bd, H, ceil(maxp/GROUP)] i32 contiguous-run group flags
+    wcnt_ref,  # [Bd] i32 valid recent-window entries per lane
     base_ref,  # [1] i32
     q_ref,  # [Bd, H, G, D] VMEM (free reshape of [Bd, HQ, D])
     kn_ref,  # [Bd, H, 1, D] VMEM — this step's key (merged in-register)
     vn_ref,  # [Bd, H, 1, D] VMEM
+    wkv_ref,  # [Bd, H, W, 2D] VMEM — unflushed loop window (K | V lanes)
     kvp_hbm,
     o_ref,  # [Bd, H, G, D] VMEM
     kv_buf,  # [2, GROUP*page, 2D] interleaved K/V
@@ -934,7 +995,8 @@ def _decode_kernel(
         m_f, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
 
         # Merge the step's own (query-position) key/value — the cache append
-        # is deferred and batched outside the layer scan.
+        # is deferred and batched outside the layer scan — plus the unflushed
+        # loop window (deferred decode append, flush_decode_window).
         k_self = kn_ref[b, h]  # [1, D]
         v_self = vn_ref[b, h]
         # VPU mul+reduce (a [G,1] matvec trips a Mosaic broadcast bug on MXU).
@@ -942,11 +1004,21 @@ def _decode_kernel(
             q.astype(jnp.float32) * k_self.astype(jnp.float32),
             axis=-1, keepdims=True,
         ) * scale  # [G, 1]
+        s_w, v_w = _window_logits(q, wkv_ref[b, h], wcnt_ref[b], scale)
         m_new = jnp.maximum(m_f, s_self)
+        m_new = jnp.maximum(m_new, jnp.max(s_w, axis=-1, keepdims=True))
         corr = jnp.exp2(m_f - m_new)
         p_self = jnp.exp2(s_self - m_new)
-        l = l * corr + p_self
+        p_w = jnp.exp2(s_w - m_new)
+        l = l * corr + p_self + jnp.sum(p_w, axis=-1, keepdims=True)
         acc = acc * corr + p_self * v_self.astype(jnp.float32)
+        if wkv_ref.shape[2] == 1:
+            acc = acc + p_w * v_w
+        else:
+            acc = acc + jax.lax.dot(
+                p_w.astype(jnp.float32), v_w,
+                preferred_element_type=jnp.float32,
+            )
 
         out = acc / jnp.where(l > 0, l, 1.0)
         o_ref[b, h] = out.astype(o_ref.dtype)
@@ -965,6 +1037,8 @@ def paged_decode_attention(
     sm_scale: float,
     page_size: int,
     group_pages: int | None = None,
+    win_kv: jax.Array | None = None,  # [Bd, H, W, 2D] unflushed loop window
+    win_cnt: jax.Array | None = None,  # [Bd] valid window entries
     interpret: bool = False,
 ) -> jax.Array:
     tune = get_tuning()
@@ -994,6 +1068,14 @@ def paged_decode_attention(
     q_hm = q.reshape(Bd, H, G, D)
     kn_hm = k_new[:, :, None, :]  # [Bd, H, 1, D]
     vn_hm = v_new[:, :, None, :]
+    # Deferred-append window: tokens sampled by earlier iterations of the
+    # current fused decode loop, not yet flushed to the paged cache. Without
+    # a window, a 1-wide dummy with count 0 keeps one kernel signature (the
+    # masked merge is a handful of VPU ops).
+    if win_kv is None:
+        win_kv = jnp.zeros((Bd, H, 1, 2 * D), q.dtype)
+        win_cnt = jnp.zeros((Bd,), jnp.int32)
+    assert win_cnt is not None and win_kv.shape[:2] == (Bd, H)
     # Resident kernels rely on sequential grid execution (cross-program
     # prefetch, zero-scratch-once) — invalid on megacore parts (v4/v5p),
     # which instead run the self-contained ring kernel with a `parallel`
@@ -1046,9 +1128,10 @@ def paged_decode_attention(
             pltpu.SemaphoreType.DMA((2, group_pages, 2)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1078,8 +1161,9 @@ def paged_decode_attention(
         lens.astype(jnp.int32),
         page_table.astype(jnp.int32),
         contig8.astype(jnp.int32),
+        win_cnt.astype(jnp.int32),
         jnp.asarray(row_base, jnp.int32).reshape(1),
-        q_hm, kn_hm, vn_hm, kv_pages,
+        q_hm, kn_hm, vn_hm, win_kv, kv_pages,
     )
     return o_hm.reshape(Bd, HQ, D)
 
@@ -1218,9 +1302,18 @@ def paged_store_prefill(
     K occupies source/destination lanes [0, D), V [D, 2D) — each DMA moves
     both."""
     Bp, H = counts.shape
+    maxp = page_table.shape[2]
     if dst_page0 is None:
         dst_page0 = jnp.zeros((Bp, H), jnp.int32)
-    ng = -(-page_table.shape[2] // STORE_GROUP)
+    # Clamp the destination span to the page-table width: a caller
+    # bookkeeping bug (e.g. stale cached lens) must truncate the store, not
+    # walk pt_ref out of bounds into wild DMAs (same contract as the decode
+    # kernels' lens clamp).
+    dst_page0 = jnp.minimum(dst_page0.astype(jnp.int32), maxp)
+    counts = jnp.minimum(
+        counts.astype(jnp.int32), (maxp - dst_page0) * page_size
+    )
+    ng = -(-maxp // STORE_GROUP)
     if store_contig is None:
         store_contig = jnp.zeros((Bp, H, ng), jnp.int32)
     else:
@@ -1531,6 +1624,18 @@ def paged_compact_store(
     Tpad, H, D = k_new.shape
     Bp = seq_starts.shape[0]
     maxp = page_table.shape[2]
+    # Destination-span clamp: see paged_store_prefill — stale cached lens
+    # must truncate, never drive pt_ref reads past the table (the round-3/4
+    # compressed-prefill TPU fault: slot reuse left stale bh_lens, dst_page0
+    # + counts overran max_pages_per_head, and the OOB scalar reads fed
+    # garbage page ids to the flush DMAs).
+    if dst_page0 is not None:
+        dst_page0 = jnp.minimum(dst_page0.astype(jnp.int32), maxp)
+        counts = jnp.minimum(
+            counts.astype(jnp.int32), (maxp - dst_page0) * page_size
+        )
+    else:
+        counts = jnp.minimum(counts.astype(jnp.int32), maxp * page_size)
     TILE = COMPACT_TILE
     BLOCK = FLUSH_PAGES * page_size
     RING = 2 * max(TILE, BLOCK)
@@ -1659,12 +1764,14 @@ def pallas_attention_impl(interpret: bool = False, fp8_query: bool = False):
         return _prefill(geom, cache, layer, q, k, v, meta, sm_scale, max_q,
                         score_chunks=True, clens=clens)
 
-    def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l, lens_l):
+    def decode(geom, cache, layer, q, k_new, v_new, meta, sm_scale, pt_l,
+               lens_l, win_kv=None, win_cnt=None):
         if fp8_query:
             q = _round_q_e4m3(q)
         return paged_decode_attention(
             q, k_new, v_new, cache.kv_pages, pt_l, lens_l,
             layer * geom.rows_per_layer, meta.contig8,
+            win_kv=win_kv, win_cnt=win_cnt,
             sm_scale=sm_scale, page_size=geom.page_size, interpret=interpret,
         )
 
