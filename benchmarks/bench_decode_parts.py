@@ -113,10 +113,44 @@ def main():
         return c
     report("lm_head GEMM + sampling", timeit(logits_sample, hidden, head))
 
-    # (a) cross-layer append scatter, chained STEPS times (donates the cache
-    # -> run LAST; earlier sections need the live cache)
     from functools import partial
 
+    # (d) deferred-window append: per-step window update + ONE
+    # flush_decode_window per STEPS-step loop (round 5; replaces (a)).
+    from compactor_vllm_tpu.kv_cache.state import flush_decode_window
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def window_steps(cache, kv):
+        pt_sel = cache.page_table[:, slots]
+        lens0 = cache.bh_lens[:, slots]
+        recent = jnp.zeros((L, Bd, H, STEPS, 2 * D), kv.dtype)
+
+        def body(carry, i):
+            rec = carry
+            step_kv = jnp.concatenate([kv + i, kv], axis=-1)
+            rec = jax.lax.dynamic_update_slice_in_dim(
+                rec, step_kv[:, :, :, None, :], i, axis=3
+            )
+            return rec, ()
+
+        recent, _ = jax.lax.scan(
+            body, recent, jnp.arange(STEPS, dtype=jnp.bfloat16)
+        )
+        return flush_decode_window(
+            geom, cache, recent, lens0,
+            jnp.full((Bd,), STEPS, jnp.int32), slots, valid, pt_sel,
+        )
+
+    cache2 = init_kv_cache(geom, dtype=jnp.bfloat16)._replace(
+        page_table=jnp.asarray(pt), bh_lens=jnp.asarray(lens)
+    )
+    report(
+        "window append (update+flush)",
+        timeit_donated(window_steps, cache2, kv),
+    )
+
+    # (a) cross-layer append scatter, chained STEPS times (donates the cache
+    # -> run LAST; earlier sections need the live cache)
     @partial(jax.jit, donate_argnums=(0,))
     def scatter_steps(cache, kv):
         def body(c, i):

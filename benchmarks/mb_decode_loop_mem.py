@@ -68,7 +68,7 @@ def main():
     ng = cdiv(geom.max_pages_per_head, decode_group_pages())
     key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
 
-    def probe(use_blocks, early_exit, label):
+    def probe(use_blocks, early_exit, label, use_window=False):
         runner_mod.os.environ["CVT_DECODE_EARLY_EXIT"] = "1" if early_exit else "0"
         meta = DecodeMeta(
             input_ids=sds((b_pad,), i32), positions=sds((b_pad,), i32),
@@ -80,7 +80,9 @@ def main():
             dec_pos=sds((b_pad,), i32) if use_blocks else None,
         )
         runner._fn_cache.clear()
-        fn = runner._decode_loop_fn(b_pad, n_steps, maxp, use_blocks)
+        fn = runner._decode_loop_fn(
+            b_pad, n_steps, maxp, use_blocks, use_window
+        )
         try:
             c = fn.lower(
                 pshapes, cache, meta, sds((b_pad,), f32), sds((b_pad,), i32),
@@ -105,6 +107,10 @@ def main():
     probe(True, False, "blocks only")
     probe(False, True, "cond only")
     probe(False, False, "neither")
+    # Deferred-window append (round 5): the flush's gather/scatter temps
+    # must stay window-sized, never pool-sized.
+    probe(False, True, "window+cond", use_window=True)
+    probe(False, False, "window only", use_window=True)
 
 
 if __name__ == "__main__":
