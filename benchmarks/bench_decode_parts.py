@@ -127,14 +127,16 @@ def main():
 
         def body(carry, i):
             rec = carry
-            step_kv = jnp.concatenate([kv + i, kv], axis=-1)
+            step_kv = jnp.concatenate(
+                [kv + i.astype(kv.dtype), kv], axis=-1
+            )
             rec = jax.lax.dynamic_update_slice_in_dim(
                 rec, step_kv[:, :, :, None, :], i, axis=3
             )
             return rec, ()
 
         recent, _ = jax.lax.scan(
-            body, recent, jnp.arange(STEPS, dtype=jnp.bfloat16)
+            body, recent, jnp.arange(STEPS, dtype=jnp.int32)
         )
         return flush_decode_window(
             geom, cache, recent, lens0,
