@@ -127,7 +127,10 @@ def main():
         kv_cache_dtype="fp8" if fp8 else "auto",
         eos=-1,
         seed=0,
-        prefill_token_buckets=(16384,),
+        # Multiple buckets: capacity-limited refill batches (1-3 seqs) pad
+        # to 4K/8K instead of paying a full 16K-shape prefill step — the
+        # compressed run's partial batches cost ~2s of its round-5 wall time.
+        prefill_token_buckets=(4096, 8192, 16384),
         decode_batch_buckets=(16, 32, 64),
     )
     log("initializing params...")

@@ -143,16 +143,8 @@ def main():
             jnp.full((Bd,), STEPS, jnp.int32), slots, valid, pt_sel,
         )
 
-    cache2 = init_kv_cache(geom, dtype=jnp.bfloat16)._replace(
-        page_table=jnp.asarray(pt), bh_lens=jnp.asarray(lens)
-    )
-    report(
-        "window append (update+flush)",
-        timeit_donated(window_steps, cache2, kv),
-    )
-
     # (a) cross-layer append scatter, chained STEPS times (donates the cache
-    # -> run LAST; earlier sections need the live cache)
+    # -> earlier sections need the live cache)
     @partial(jax.jit, donate_argnums=(0,))
     def scatter_steps(cache, kv):
         def body(c, i):
@@ -161,6 +153,17 @@ def main():
         c, _ = jax.lax.scan(body, cache, jnp.arange(STEPS, dtype=jnp.bfloat16))
         return c
     report("append scatter (store_decode_all)", timeit_donated(scatter_steps, cache, kv))
+    # The donated pool is dead now; drop the reference so the window section
+    # can allocate its own without two 7.6 GB pools coexisting.
+    del cache
+
+    cache2 = init_kv_cache(geom, dtype=jnp.bfloat16)._replace(
+        page_table=jnp.asarray(pt), bh_lens=jnp.asarray(lens)
+    )
+    report(
+        "window append (update+flush)",
+        timeit_donated(window_steps, cache2, kv),
+    )
 
     print(json.dumps(results))
 
