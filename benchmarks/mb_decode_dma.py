@@ -101,10 +101,9 @@ def kernel(lens_ref, pt_ref, contig_ref, base_ref, q_ref, kvp_hbm, o_ref,
 
     fetch(b, slot, wait=True)
     # Whole-block write via the out BlockSpec (a dynamic o_ref[b] row store
-    # is not provably 8-aligned for Mosaic).
-    o_ref[...] = kv_buf[slot, 0:8, :].sum(axis=0, keepdims=True).astype(
-        o_ref.dtype
-    )
+    # is not provably 8-aligned for Mosaic; and the block's last two dims
+    # must be (8k, 128m)-divisible — write an [8, 2D] tile).
+    o_ref[...] = kv_buf[slot, 0:8, :][None].astype(o_ref.dtype)
 
 
 def run(nprog, ctx, ns, layout):
@@ -132,7 +131,7 @@ def run(nprog, ctx, ns, layout):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * D), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((1, 8, 2 * D), lambda i, *_: (i, 0, 0)),
         # Scratch rows rounded up to whole groups: the traced run-DMA branch
         # slices GP*PAGE rows even when the dynamic guard rejects it.
         scratch_shapes=[
@@ -144,7 +143,7 @@ def run(nprog, ctx, ns, layout):
     fn = pl.pallas_call(
         functools.partial(kernel, page_size=PAGE, group_pages=GP),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nprog, 2 * D), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((nprog, 8, 2 * D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
