@@ -172,6 +172,31 @@ def main():
         finally:
             COMPRESSION_REGISTRY["compactor"] = orig_m
 
+    def v_dummy_fused():
+        # trivial scoring WITH the scored attention kernel (colmass computed
+        # and discarded) -> isolates the scored-kernel delta from the jnp
+        # scoring glue: fused - dummy_fused = leverage + z-scores +
+        # protection; dummy_fused - dummy = in-kernel chunk scoring cost.
+        from compactor_vllm_tpu.compression import (
+            COMPRESSION_REGISTRY,
+            ScoringMethod,
+        )
+
+        def dummy_score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                        postrope_colmass=None):
+            return k_post[:, :, 0].astype(jnp.float32)
+
+        orig_m = COMPRESSION_REGISTRY["compactor"]
+        COMPRESSION_REGISTRY["compactor"] = ScoringMethod(score=dummy_score)
+        try:
+            run_variant(
+                "dummy_fused",
+                BatchCompressionParams(CompressionMethod.COMPACTOR),
+                force_fused=True,
+            )
+        finally:
+            COMPRESSION_REGISTRY["compactor"] = orig_m
+
     def v_nostore():
         # store probe: real scoring + threshold selection, but the fused
         # compact store is replaced by a full store plus a data dependency
@@ -201,6 +226,7 @@ def main():
         "compactor_unfused": v_unfused,
         "compactor_fused": v_fused,
         "dummy_score": v_dummy,
+        "dummy_fused": v_dummy_fused,
         "score_select_no_store": v_nostore,
     }
     log("compiling + timing variants...")
