@@ -180,10 +180,21 @@ class LLMConfig:
     # K/V in a recent-window buffer that attention reads as an extra operand,
     # and flushes the whole window to the paged cache once per loop with
     # F-aligned contiguous-window scatters (kv_cache/state.py
-    # flush_decode_window) — replacing n_steps row scatters (~2.95 ms/step at
-    # B=64, NOTES.md round 4). Ignored when decode_block_append engages.
-    # Reference appends per token in-kernel (store_kv_cache.py:374-466).
-    decode_window_append: bool = True
+    # flush_decode_window) — replacing n_steps row scatters. Ignored when
+    # decode_block_append engages. Reference appends per token in-kernel
+    # (store_kv_cache.py:374-466).
+    # DEFAULT OFF: the engine-level fused-loop A/B (round 5,
+    # benchmarks/mb_decode_loop_time.py) measured the window variant 3-10%
+    # SLOWER per decode step than in-loop row scatters (60.4 vs 58.8 ms at
+    # B=64/ctx2048/fp8; 17.3 vs 16.1 at B=32/ctx2048; 27.2 vs 24.6 at
+    # B=64/ctx1024) — inside the compiled loop XLA overlaps the row scatter
+    # with compute, while the window's extra attention operand + the
+    # recent-buffer carry cost more than the scatter they avoid. The
+    # standalone microbench that motivated the design (2.95 ms/step,
+    # bench_decode_parts) measured the scatter WITHOUT that overlap. Both
+    # paths are token-identical and tested; the window stays selectable for
+    # parts/shapes where scatter lowering is worse.
+    decode_window_append: bool = False
     # GEMM weight storage: "auto" keeps the checkpoint dtype; "int8" applies
     # per-output-channel weight-only quantization at engine init
     # (layers/quant.py) — halves the weight bytes every decode step streams.

@@ -139,7 +139,7 @@ class ModelRunner:
         spec: ModelSpec,
         params,
         *,
-        cache_dtype=jnp.bfloat16,
+        cache_dtype=None,
         attention_impl: AttentionImpl | None = None,
         mesh=None,
     ):
@@ -172,6 +172,14 @@ class ModelRunner:
             from dataclasses import replace as _dc_replace
 
             self.lspec = _dc_replace(self.lspec, act_quant=True)
+        if cache_dtype is None:
+            # Direct-runner callers (benchmarks) get the config's KV dtype;
+            # LLMEngine passes the mapped dtype explicitly.
+            cache_dtype = {
+                "auto": jnp.dtype(cfg.dtype),
+                "fp8": jnp.float8_e4m3fn,
+                "float8_e4m3": jnp.float8_e4m3fn,
+            }[cfg.kv_cache_dtype]
         self._cache_dtype = cache_dtype
         # Attention backend is chosen before the pool derivation so the
         # measured-memory probe compiles the production kernels.

@@ -43,7 +43,16 @@ class KernelTuning:
     # the double-buffered ring kernel walks page groups.
     decode_resident_tokens: int = 8192
     # (b, h) pairs per grid program for the multi-pair resident kernel.
-    decode_pairs: int = 4
+    # Round-5 on-chip sweep (benchmarks/mb_decode_pairs.py, v5e): pairs>1
+    # never consistently beats single-pair — 2048x16 (the headline decode
+    # shape) regresses 5% at pairs=4, other shapes are within the ~2%
+    # wobble, and at ctx>=4096 the VMEM ring budget forces fallback to the
+    # single-pair kernel anyway (raising the budget to 12MB made pairs=2
+    # 5% WORSE). The round-4 2048x16 improvement attributed to "V-select
+    # removal + multi-pair" was all V-select removal. The multi-pair
+    # kernel stays selectable (CVT_DECODE_PAIRS / this table) for parts
+    # where the tradeoff may differ.
+    decode_pairs: int = 1
     # VMEM budget for decode prefetch rings (bounds ring depth / pair count).
     ring_budget_bytes: int = 8 << 20
     # Two TensorCores behind one device (v4/v5p "megacore"). Mosaic may
