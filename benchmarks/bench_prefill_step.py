@@ -197,6 +197,105 @@ def main():
         finally:
             COMPRESSION_REGISTRY["compactor"] = orig_m
 
+    def _register_and_run(name, score_fn, wants_colmass):
+        from compactor_vllm_tpu.compression import (
+            COMPRESSION_REGISTRY,
+            ScoringMethod,
+        )
+
+        orig_m = COMPRESSION_REGISTRY["compactor"]
+        COMPRESSION_REGISTRY["compactor"] = ScoringMethod(
+            score=score_fn, wants_postrope_colmass=wants_colmass
+        )
+        try:
+            run_variant(
+                name,
+                BatchCompressionParams(CompressionMethod.COMPACTOR),
+                force_fused=True,
+            )
+        finally:
+            COMPRESSION_REGISTRY["compactor"] = orig_m
+
+    def v_post_only():
+        # scoring = fused colmass + per-seq z-score + protection only (no
+        # leverage): post_only - dummy_fused = in-program colmass-glue cost.
+        from compactor_vllm_tpu.compression.chunking import zscore_aligned
+        from compactor_vllm_tpu.compression.compactor import (
+            POSTROPE_CHUNK,
+            apply_protection,
+        )
+
+        def score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
+            cm = jnp.where(
+                meta.token_valid[:, None], postrope_colmass, 0.0
+            )
+            post = zscore_aligned(
+                cm, meta.token_seq_idx, meta.token_valid, POSTROPE_CHUNK,
+                "seq", num_seqs=meta.seq_lens.shape[0],
+            )
+            return apply_protection(
+                post, meta.seq_lens, meta.token_seq_idx, meta.token_in_pos,
+                meta.token_valid, meta.protected_first, meta.protected_last,
+            )
+
+        _register_and_run("post_only", score, wants_colmass=True)
+
+    def v_post_raw():
+        # raw fused colmass only (valid-masked; NO z-score, NO protection):
+        # post_raw - dummy_fused = cost of consuming the kernel's score
+        # output (the [H, T] -> [T, H] transpose + mask).
+        def score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
+            return jnp.where(
+                meta.token_valid[:, None], postrope_colmass, -1.0e30
+            )
+
+        _register_and_run("post_raw", score, wants_colmass=True)
+
+    def v_post_prot():
+        # raw colmass + protection (no z-score): isolates apply_protection's
+        # per-token [T]-from-[Bp] gathers.
+        from compactor_vllm_tpu.compression.compactor import apply_protection
+
+        def score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
+            cm = jnp.where(meta.token_valid[:, None], postrope_colmass, 0.0)
+            return apply_protection(
+                cm, meta.seq_lens, meta.token_seq_idx, meta.token_in_pos,
+                meta.token_valid, meta.protected_first, meta.protected_last,
+            )
+
+        _register_and_run("post_prot", score, wants_colmass=True)
+
+    def v_lev_only():
+        # scoring = pre-RoPE leverage + protection only (fused kernel still
+        # computes+discards colmass): lev_only - dummy_fused = in-program
+        # leverage cost.
+        from compactor_vllm_tpu.compression.chunking import (
+            make_chunk_meta_aligned,
+        )
+        from compactor_vllm_tpu.compression.compactor import (
+            apply_protection,
+            approximate_leverage_scores,
+        )
+
+        def score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
+            meta_pre = make_chunk_meta_aligned(
+                meta.token_seq_idx, meta.token_valid, comp.chunk_size
+            )
+            pre = approximate_leverage_scores(
+                k_pre, meta.phi, meta_pre, comp.chunk_size, aligned=True,
+                token_valid=meta.token_valid,
+            )
+            return apply_protection(
+                pre, meta.seq_lens, meta.token_seq_idx, meta.token_in_pos,
+                meta.token_valid, meta.protected_first, meta.protected_last,
+            )
+
+        _register_and_run("lev_only", score, wants_colmass=True)
+
     def v_nostore():
         # store probe: real scoring + threshold selection, but the fused
         # compact store is replaced by a full store plus a data dependency
@@ -227,6 +326,10 @@ def main():
         "compactor_fused": v_fused,
         "dummy_score": v_dummy,
         "dummy_fused": v_dummy_fused,
+        "post_only": v_post_only,
+        "post_raw": v_post_raw,
+        "post_prot": v_post_prot,
+        "lev_only": v_lev_only,
         "score_select_no_store": v_nostore,
     }
     log("compiling + timing variants...")
