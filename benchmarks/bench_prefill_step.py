@@ -296,6 +296,48 @@ def main():
 
         _register_and_run("lev_only", score, wants_colmass=True)
 
+    def v_lev_nosolve():
+        # leverage WITHOUT the Cholesky + triangular solve (scores = squared
+        # row norms of the centered sketch): lev_only - lev_nosolve = the
+        # in-program decomposition cost; lev_nosolve - dummy_fused = the
+        # sketch/center/einsum/z-score data-path cost.
+        from compactor_vllm_tpu.compression.chunking import (
+            chunk_row_mask,
+            make_chunk_meta_aligned,
+            scatter_to_chunks,
+            zscore_aligned,
+        )
+        from compactor_vllm_tpu.compression.compactor import apply_protection
+
+        def score(q, k_pre, k_post, meta, comp, *, t_pad, b_pad,
+                  postrope_colmass=None):
+            mt = make_chunk_meta_aligned(
+                meta.token_seq_idx, meta.token_valid, comp.chunk_size
+            )
+            X = jnp.einsum(
+                "thd,ds->ths", k_pre.astype(jnp.float32), meta.phi,
+                preferred_element_type=jnp.float32,
+            )
+            Xc = scatter_to_chunks(X, mt, comp.chunk_size, True)
+            row_mask = chunk_row_mask(mt, comp.chunk_size)
+            Xc = jnp.where(row_mask[:, :, None, None], Xc, 0.0)
+            cnt = jnp.maximum(
+                mt.chunk_valid_count.astype(jnp.float32), 1.0
+            )[:, None, None]
+            mean = Xc.sum(axis=1) / cnt
+            Xc = jnp.where(row_mask[:, :, None, None], Xc - mean[:, None], 0.0)
+            sc = jnp.einsum("nchs->nch", Xc * Xc)
+            pre = zscore_aligned(
+                sc.reshape(t_pad, k_pre.shape[1]), None, meta.token_valid,
+                comp.chunk_size, "chunk",
+            )
+            return apply_protection(
+                pre, meta.seq_lens, meta.token_seq_idx, meta.token_in_pos,
+                meta.token_valid, meta.protected_first, meta.protected_last,
+            )
+
+        _register_and_run("lev_nosolve", score, wants_colmass=True)
+
     def v_nostore():
         # store probe: real scoring + threshold selection, but the fused
         # compact store is replaced by a full store plus a data dependency
@@ -330,6 +372,7 @@ def main():
         "post_raw": v_post_raw,
         "post_prot": v_post_prot,
         "lev_only": v_lev_only,
+        "lev_nosolve": v_lev_nosolve,
         "score_select_no_store": v_nostore,
     }
     log("compiling + timing variants...")
